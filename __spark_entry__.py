@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one engine operator (SURVEY.md §2) over the
+driver's testdata tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI
+SQL.  Coordinates are derived deterministically from key columns (the
+FIXTURES.md star-schema mapping) so both engines see identical inputs.
+
+The deterministic row id used for `first`/`last`/tie-breaks is
+``l_orderkey * 10 + l_linenumber`` on lineitem and the natural key elsewhere —
+reproducible in both engines (never monotonically_increasing_id here).
 """
 
 from __future__ import annotations
@@ -12,27 +15,238 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.operators.uniquecoords import unique_coords_df
+from geostatstransforms_jl_spark.operators.upscale import upscale_df
+from geostatstransforms_jl_spark.operators.downscale import downscale_df
+from geostatstransforms_jl_spark.operators.transfer import transfer_to_points_df
+from geostatstransforms_jl_spark.operators.aggregate import aggregate_to_points_df
+
+
+def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a point geotable: coords from part/supp keys, frozen row id."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("row_id"),
+        (F.col("l_partkey") % 500).cast("double").alias("x"),
+        (F.col("l_suppkey") % 100).cast("double").alias("y"),
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+def _lineitem_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a raster geotable: 64×64 cell indices from keys."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("row_id"),
+        (F.col("l_partkey") % 64).cast("int").alias("i"),
+        (F.col("l_suppkey") % 64).cast("int").alias("j"),
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(
+        F.col("c_custkey").cast("long").alias("row_id"),
+        (F.col("c_custkey") % 97).cast("double").alias("x"),
+        (F.col("c_custkey") % 89).cast("double").alias("y"),
+    )
+
+
+def _supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return s.select(
+        F.col("s_suppkey").cast("long").alias("row_id"),
+        (F.col("s_suppkey") % 97).cast("double").alias("x"),
+        (F.col("s_suppkey") % 89).cast("double").alias("y"),
+        F.col("s_acctbal").cast("double").alias("bal"),
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_uniquecoords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _lineitem_points(spark, sf_dir)
+    out = unique_coords_df(pts, ("x", "y"), row_id="row_id")
+    # float aggregates rounded to 6 dp on BOTH engines: summation order differs
+    # between Spark partial/final agg and DuckDB, so raw doubles can differ in
+    # the last ulp and break the driver's value-hash compare
+    return out.select(
+        "x", "y", "row_id", F.round("q", 6).alias("q"), F.round("price", 6).alias("price"), "flag"
+    )
+
+
+def q_upscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _lineitem_grid(spark, sf_dir)
+    out = upscale_df(g, 2, 2, ("i", "j"), row_id="row_id")
+    return out.select("i", "j", F.round("q", 6).alias("q"), "flag")
+
+
+def q_downscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = q_upscale(spark, sf_dir).withColumn("row_id", F.lit(None).cast("long"))
+    return downscale_df(g, 2, 2, ("i", "j"), row_id="row_id").select("i", "j", "q", "flag")
+
+
+def q_aggregate_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.core.aggregates import resolve_aggs, grouped_agg
+
+    g = _lineitem_grid(spark, sf_dir)
+    blocked = g.withColumn("bi", F.floor(F.col("i") / 4).cast("int")).withColumn(
+        "bj", F.floor(F.col("j") / 4).cast("int")
+    )
+    aggs, pcols = resolve_aggs(blocked, ["q"], {"q": "median"}, order_col="row_id")
+    out = grouped_agg(blocked, ["bi", "bj"], aggs, pcols)
+    return out.select("bi", "bj", F.round("q", 6).alias("q"))
+
+
+def q_knn_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _supplier_points(spark, sf_dir)
+    tgt = _customer_points(spark, sf_dir)
+    out = transfer_to_points_df(src, tgt, row_id="row_id")
+    return out.select(F.col("row_id").alias("cust"), "bal")
+
+
+def q_knn_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _customer_points(spark, sf_dir).join(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("row_id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ),
+        "row_id",
+    )
+    tgt = _supplier_points(spark, sf_dir).select("row_id", "x", "y")
+    out = aggregate_to_points_df(src, tgt, row_id="row_id")
+    return out.select(F.col("row_id").alias("supp"), F.round(F.col("bal"), 6).alias("bal"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
+    return q_uniquecoords(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "uniquecoords": q_uniquecoords,
+        "upscale": q_upscale,
+        "downscale": q_downscale,
+        "aggregate_median": q_aggregate_median,
+        "knn_transfer": q_knn_transfer,
+        "knn_aggregate": q_knn_aggregate,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_LI_PTS = """
+SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS row_id,
+       (l_partkey % 500)::DOUBLE AS x,
+       (l_suppkey % 100)::DOUBLE AS y,
+       l_quantity::DOUBLE AS q,
+       l_extendedprice::DOUBLE AS price,
+       l_returnflag AS flag
+FROM lineitem
+"""
+
+_LI_GRID = """
+SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS row_id,
+       (l_partkey % 64)::INT AS i,
+       (l_suppkey % 64)::INT AS j,
+       l_quantity::DOUBLE AS q,
+       l_returnflag AS flag
+FROM lineitem
+"""
+
+_CUST_PTS = """
+SELECT c_custkey::BIGINT AS row_id,
+       (c_custkey % 97)::DOUBLE AS x,
+       (c_custkey % 89)::DOUBLE AS y
+FROM customer
+"""
+
+_SUPP_PTS = """
+SELECT s_suppkey::BIGINT AS row_id,
+       (s_suppkey % 97)::DOUBLE AS x,
+       (s_suppkey % 89)::DOUBLE AS y,
+       s_acctbal::DOUBLE AS bal
+FROM supplier
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "uniquecoords": f"""
+            WITH pts AS ({_LI_PTS})
+            SELECT x, y,
+                   MIN(row_id) AS row_id,
+                   ROUND(AVG(q), 6) AS q,
+                   ROUND(AVG(price), 6) AS price,
+                   ARG_MIN(flag, row_id) AS flag
+            FROM pts GROUP BY x, y
+        """,
+        "upscale": f"""
+            WITH g AS ({_LI_GRID})
+            SELECT (i // 2)::INT AS i, (j // 2)::INT AS j,
+                   ROUND(AVG(q), 6) AS q,
+                   ARG_MIN(flag, row_id) AS flag
+            FROM g GROUP BY 1, 2
+        """,
+        "downscale": f"""
+            WITH g AS ({_LI_GRID}),
+            up AS (
+              SELECT (i // 2)::INT AS i, (j // 2)::INT AS j,
+                     ROUND(AVG(q), 6) AS q,
+                     ARG_MIN(flag, row_id) AS flag
+              FROM g GROUP BY 1, 2
+            )
+            SELECT (up.i * 2 + dx.d)::INT AS i, (up.j * 2 + dy.d)::INT AS j, q, flag
+            FROM up, (VALUES (0), (1)) dx(d), (VALUES (0), (1)) dy(d)
+        """,
+        "aggregate_median": f"""
+            WITH g AS ({_LI_GRID})
+            SELECT (i // 4)::INT AS bi, (j // 4)::INT AS bj,
+                   ROUND(MEDIAN(q), 6) AS q
+            FROM g GROUP BY 1, 2
+        """,
+        "knn_transfer": f"""
+            WITH t AS ({_CUST_PTS}), s AS ({_SUPP_PTS}),
+            pairs AS (
+              SELECT t.row_id AS cust, s.bal,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY t.row_id
+                       ORDER BY sqrt((t.x - s.x) * (t.x - s.x) + (t.y - s.y) * (t.y - s.y)),
+                                s.row_id
+                     ) AS rn
+              FROM t CROSS JOIN s
+            )
+            SELECT cust, bal FROM pairs WHERE rn = 1
+        """,
+        "knn_aggregate": f"""
+            WITH s AS (
+              SELECT c_custkey::BIGINT AS row_id,
+                     (c_custkey % 97)::DOUBLE AS x,
+                     (c_custkey % 89)::DOUBLE AS y,
+                     c_acctbal::DOUBLE AS bal
+              FROM customer
+            ), t AS ({_SUPP_PTS}),
+            assigned AS (
+              SELECT row_id, bal, tgt FROM (
+                SELECT s.row_id, s.bal, t.row_id AS tgt,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY s.row_id
+                         ORDER BY sqrt((s.x - t.x) * (s.x - t.x) + (s.y - t.y) * (s.y - t.y)),
+                                  t.row_id
+                       ) AS rn
+                FROM s CROSS JOIN t
+              ) WHERE rn = 1
+            )
+            SELECT t.row_id AS supp, ROUND(AVG(a.bal), 6) AS bal
+            FROM t LEFT JOIN assigned a ON a.tgt = t.row_id
+            GROUP BY t.row_id
+        """,
+    }

@@ -1,0 +1,27 @@
+from .grid import GridMeta, fitdims
+from .geotable import GeoTable, PointDomain, GridDomain, GeomDomain
+from .aggregates import (
+    AGG_REGISTRY,
+    default_agg,
+    resolve_aggs,
+    grouped_agg,
+    first_by,
+    last_by,
+    mode_expr,
+)
+
+__all__ = [
+    "GridMeta",
+    "fitdims",
+    "GeoTable",
+    "PointDomain",
+    "GridDomain",
+    "GeomDomain",
+    "AGG_REGISTRY",
+    "default_agg",
+    "resolve_aggs",
+    "grouped_agg",
+    "first_by",
+    "last_by",
+    "mode_expr",
+]

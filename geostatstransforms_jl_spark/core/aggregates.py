@@ -1,0 +1,197 @@
+"""Per-column aggregation policy and registry (reference primitive P6).
+
+The reference's default aggregation is null-skipping `mean` for Continuous
+columns and null-skipping `first` otherwise, returning missing for all-missing
+groups (`_defaultagg`/`_skipmissing`, reference: src/utils.jl:12-21).  Users
+override per column with `var => fn` pairs (reference: src/uniquecoords.jl:24,
+src/aggregate.jl:26).
+
+Spark mapping
+-------------
+* ``mean``  → ``avg`` (null-skipping, returns NULL on empty — exact match)
+* ``first``/``last`` → deterministic first/last **by an order column**, built
+  as ``min/max(struct(order, value))`` over non-null values.  Spark's own
+  ``first(ignorenulls=True)`` is shuffle-order dependent; the reference's
+  `first` is index order, so we thread the frozen ``row_id`` through.
+* ``median`` → exact ``median`` (Spark's is the exact type-7 percentile, same
+  interpolation as Julia's `quantile`; see P8 in SURVEY.md §2.2)
+* ``std`` → ``stddev_samp`` (Julia `std` is the n-1 corrected estimator)
+* ``mode`` → deterministic mode with smallest-value tie-break (P7): a grouped
+  pandas UDAF so it composes with built-in aggs in a single hash aggregate.
+
+All of these are expressions inside one Catalyst hash-aggregate — partial
+(map-side) aggregation and AQE partition coalescing come for free.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping, Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Column scitype policy: Spark storage type → 'continuous' | 'categorical'.
+# Floats are Continuous; integers/strings/booleans default to `first` — the
+# reference's own tests aggregate a rand(Int) column with `first`
+# (test/aggregate.jl:15-16), matching DataScienceTraits where Int is not
+# Continuous.  Override per call when an int column is genuinely continuous.
+CONTINUOUS_TYPES = (
+    T.DoubleType,
+    T.FloatType,
+    T.DecimalType,
+)
+
+
+def scitype_of(dtype: T.DataType) -> str:
+    if isinstance(dtype, CONTINUOUS_TYPES):
+        return "continuous"
+    return "categorical"
+
+
+def first_by(col: Union[str, Column], order: Union[str, Column]) -> Column:
+    """First non-null value of `col` in `order` order (deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    o = F.col(order) if isinstance(order, str) else order
+    return F.min(F.when(c.isNotNull(), F.struct(o.alias("o"), c.alias("v")))).getField("v")
+
+
+def last_by(col: Union[str, Column], order: Union[str, Column]) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    o = F.col(order) if isinstance(order, str) else order
+    return F.max(F.when(c.isNotNull(), F.struct(o.alias("o"), c.alias("v")))).getField("v")
+
+
+def mode_expr(col: str, dtype: T.DataType) -> Column:
+    """Deterministic mode: most frequent non-null value, ties broken by the
+    smallest value (the reference's `_mode` tie-break is Dict-order dependent,
+    reference: src/utils.jl:37-43; we fix a total order for reproducibility).
+
+    Implemented as a grouped-agg pandas UDAF so it participates in the same
+    Catalyst aggregate as built-in expressions (Arrow-batched, no extra
+    shuffle).
+    """
+
+    def _mode(v: pd.Series):
+        v = v.dropna()
+        if v.empty:
+            return None
+        counts = v.value_counts()
+        top = counts.max()
+        return min(c for c, n in counts.items() if n == top)
+
+    udaf = F.pandas_udf(_mode, dtype, F.PandasUDFType.GROUPED_AGG)
+    return udaf(F.col(col))
+
+
+def _make_builtin(name: str):
+    def build(col: str, dtype: T.DataType, order_col: str) -> Column:
+        if name == "mean":
+            return F.avg(col)
+        if name == "sum":
+            return F.sum(col)
+        if name == "min":
+            return F.min(col)
+        if name == "max":
+            return F.max(col)
+        if name == "median":
+            return F.median(col)
+        if name == "std":
+            return F.stddev_samp(col)
+        if name == "count":
+            return F.count(col)
+        if name == "first":
+            return first_by(col, order_col)
+        if name == "last":
+            return last_by(col, order_col)
+        if name == "mode":
+            return mode_expr(col, dtype)
+        raise KeyError(name)
+
+    return build
+
+
+AGG_REGISTRY: Dict[str, Callable[[str, T.DataType, str], Column]] = {
+    n: _make_builtin(n)
+    for n in ("mean", "sum", "min", "max", "median", "std", "count", "first", "last", "mode")
+}
+# Julia-style aliases used in the reference tests (test/uniquecoords.jl:53-94)
+AGG_REGISTRY["maximum"] = AGG_REGISTRY["max"]
+AGG_REGISTRY["minimum"] = AGG_REGISTRY["min"]
+
+
+def default_agg(dtype: T.DataType) -> str:
+    """mean for continuous, first otherwise (reference: src/utils.jl:12-14)."""
+    return "mean" if scitype_of(dtype) == "continuous" else "first"
+
+
+AggLike = Union[str, Callable[[pd.Series], object]]
+
+# names whose registry expression is a grouped-agg pandas UDAF (cannot share a
+# single Catalyst aggregate with built-in functions: INVALID_PANDAS_UDF_PLACEMENT)
+_PANDAS_AGGS = {"mode"}
+
+
+def grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    exprs: Mapping[str, Column],
+    pandas_cols: Sequence[str] = (),
+) -> DataFrame:
+    """groupBy(keys).agg(exprs) that transparently splits pandas UDAF columns
+    into a second aggregate joined back on the keys (Spark disallows mixing
+    grouped-agg pandas UDFs with built-in aggregate functions)."""
+    pset = set(pandas_cols)
+    builtin = [exprs[c] for c in exprs if c not in pset]
+    pandas_ = [exprs[c] for c in exprs if c in pset]
+    if not pandas_ or not builtin:
+        return df.groupBy(*keys).agg(*(builtin or pandas_))
+    a = df.groupBy(*keys).agg(*builtin)
+    b = df.groupBy(*keys).agg(*pandas_)
+    return a.join(b, list(keys))
+
+
+def resolve_aggs(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    overrides: Optional[Mapping[str, AggLike]] = None,
+    order_col: str = "row_id",
+):
+    """Build the aggregation expression map for `value_cols` of `df`.
+
+    `overrides` maps column → registry name or a Python callable
+    (pd.Series → scalar); callables become grouped-agg pandas UDAFs with the
+    column's own dtype as the return type (the reference accepts arbitrary
+    Julia functions the same way, src/uniquecoords.jl:42-49).
+
+    Returns ``(exprs, pandas_cols)`` — pass both to :func:`grouped_agg`.
+    """
+    overrides = dict(overrides or {})
+    unknown = set(overrides) - set(value_cols)
+    if unknown:
+        raise ValueError(f"override for non-value columns: {sorted(unknown)}")
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    out: Dict[str, Column] = {}
+    pandas_cols: list = []
+    for c in value_cols:
+        spec = overrides.get(c, default_agg(dtypes[c]))
+        if callable(spec) and not isinstance(spec, str):
+            ret = dtypes[c]
+
+            def _wrap(fn=spec, ret=ret):
+                def _udaf(v: pd.Series):
+                    v = v.dropna()
+                    if v.empty:
+                        return None
+                    return fn(v)
+
+                return F.pandas_udf(_udaf, ret, F.PandasUDFType.GROUPED_AGG)
+
+            out[c] = _wrap()(F.col(c)).alias(c)
+            pandas_cols.append(c)
+        else:
+            out[c] = AGG_REGISTRY[spec](c, dtypes[c], order_col).alias(c)
+            if spec in _PANDAS_AGGS:
+                pandas_cols.append(c)
+    return out, pandas_cols

@@ -1,0 +1,240 @@
+"""Distributed kNN / radius joins via cell-ring candidate generation.
+
+This is the engine's replacement for the reference's in-process KD-tree and
+ball searches (`KNearestSearch` / `BallSearch` / `KBallSearch`, primitive P1:
+used by src/aggregate.jl:96-99, src/transfer.jl:80-83,
+src/interpneighbors.jl:72-84, src/droplocallowhigh.jl:49-55,
+src/clustering/slic.jl:74,105,169).
+
+Physical strategy (scale-first):
+
+1.  Bucket sources into quad-cells sized from the query (`core.cells`).  The
+    cell assignment is a codegen'd expression; the subsequent join is a plain
+    shuffled (or broadcast, when one side is small — Catalyst/AQE decides)
+    **equi-join on the cell key**, which replaces the theta (distance) join.
+2.  Targets explode a kRing of neighbor cells.  For radius queries the ring
+    count is exact (`ceil(r / cell_edge)`); for kNN it starts at 1 and the
+    driver doubles it only for targets whose k-th neighbor is not yet
+    *provably* within the searched ring (distance ≤ ring × min_cell_edge) —
+    an exact algorithm, typically one round at matched densities.
+3.  Ranking is `row_number() OVER (PARTITION BY target ORDER BY dist, s_id)`
+    — deterministic tie-break on the source row id.
+4.  Skew: cells whose source count exceeds `salt_threshold` are split into
+    shards; targets touching a hot cell fan out over the shards (salted
+    equi-join).  The hot-cell set is collected from a cheap cell histogram
+    and broadcast.  AQE's skew-join splitting also applies on top.
+
+Output columns: targets prefixed ``t_``, sources prefixed ``s_``, plus
+``dist`` (and ``rank`` for kNN).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core import cells as C
+
+
+def _prefixed(df: DataFrame, prefix: str, coords: Tuple[str, str], id_col: str, carry: Sequence[str]) -> DataFrame:
+    keep = [id_col, *coords, *carry]
+    sel = [F.col(c).alias(f"{prefix}{c}") for c in dict.fromkeys(keep)]
+    return df.select(*sel)
+
+
+def _dist_expr(tx, ty, sx, sy):
+    return F.sqrt((tx - sx) * (tx - sx) + (ty - sy) * (ty - sy))
+
+
+def _union_bounds(a: DataFrame, ac, b: DataFrame, bc) -> Tuple[float, float, float, float]:
+    ax0, ay0, ax1, ay1 = C.bounds_of(a, *ac)
+    bx0, by0, bx1, by1 = C.bounds_of(b, *bc)
+    return min(ax0, bx0), min(ay0, by0), max(ax1, bx1), max(ay1, by1)
+
+
+def _hot_cells(sources_cells: DataFrame, threshold: int):
+    """Histogram of source cells; return list of (cell, nshards) above threshold."""
+    hist = (
+        sources_cells.groupBy("_cell")
+        .count()
+        .filter(F.col("count") > threshold)
+        .select("_cell", "count")
+        .collect()
+    )
+    return {r["_cell"]: int(math.ceil(r["count"] / threshold)) for r in hist}
+
+
+def radius_join(
+    targets: DataFrame,
+    sources: DataFrame,
+    radius: float,
+    *,
+    t_id: str = "row_id",
+    s_id: str = "row_id",
+    t_coords: Tuple[str, str] = ("x", "y"),
+    s_coords: Tuple[str, str] = ("x", "y"),
+    t_carry: Sequence[str] = (),
+    s_carry: Sequence[str] = (),
+    exclude_same_id: bool = False,
+    salt_threshold: Optional[int] = 200_000,
+) -> DataFrame:
+    """All (target, source) pairs with euclidean distance ≤ radius.
+
+    Exact: the ring count covers the ball by construction.
+    """
+    t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
+    s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
+    tx, ty = (f"t_{c}" for c in t_coords)
+    sx, sy = (f"s_{c}" for c in s_coords)
+
+    x0, y0, x1, y1 = _union_bounds(t, (tx, ty), s, (sx, sy))
+    res = C.pick_resolution(x0, y0, x1, y1, radius)
+    grid = C.CellGrid(x0, y0, x1, y1, res)
+    k = grid.rings_needed(radius)
+
+    s_cells = C.with_cell(s, grid, x=sx, y=sy, out="_cell")
+    t_cells = C.kring_exploded(t, grid, k, x=tx, y=ty, out="_cell")
+
+    joined = _salted_cell_join(t_cells, s_cells, salt_threshold)
+    d = _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy))
+    out = joined.withColumn("dist", d).filter(F.col("dist") <= F.lit(float(radius))).drop("_cell")
+    if exclude_same_id:
+        out = out.filter(F.col(f"t_{t_id}") != F.col(f"s_{s_id}"))
+    return out
+
+
+def _salted_cell_join(t_cells: DataFrame, s_cells: DataFrame, salt_threshold: Optional[int]) -> DataFrame:
+    """Equi-join on `_cell`, optionally salting cells whose source count
+    exceeds the threshold: hot source rows get shard = s_id % n, hot target
+    rows explode all shards (a broadcast map keeps this a single pass)."""
+    if not salt_threshold:
+        return t_cells.join(s_cells, "_cell")
+    hot = _hot_cells(s_cells, salt_threshold)
+    if not hot:
+        return t_cells.join(s_cells, "_cell")
+    spark = t_cells.sparkSession
+    hot_df = F.broadcast(
+        spark.createDataFrame([(c, n) for c, n in hot.items()], "_cell long, _nshard int")
+    )
+    s2 = (
+        s_cells.join(hot_df, "_cell", "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_nshard").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(*[c for c in s_cells.columns if c != "_cell"][:1]), F.col("_nshard")).cast("int")
+            ),
+        )
+        .drop("_nshard")
+    )
+    t2 = (
+        t_cells.join(hot_df, "_cell", "left")
+        .withColumn("_nshard", F.coalesce(F.col("_nshard"), F.lit(1)))
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_nshard") - 1)))
+        .drop("_nshard")
+    )
+    return t2.join(s2, ["_cell", "_salt"]).drop("_salt")
+
+
+def knn_join(
+    targets: DataFrame,
+    sources: DataFrame,
+    k: int,
+    *,
+    t_id: str = "row_id",
+    s_id: str = "row_id",
+    t_coords: Tuple[str, str] = ("x", "y"),
+    s_coords: Tuple[str, str] = ("x", "y"),
+    t_carry: Sequence[str] = (),
+    s_carry: Sequence[str] = (),
+    exclude_same_id: bool = False,
+    max_radius: Optional[float] = None,
+    rows_per_cell: Optional[int] = None,
+    salt_threshold: Optional[int] = 200_000,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact k-nearest-neighbors join (≤ k when fewer sources qualify).
+
+    Returns ``t_*``, ``s_*``, ``dist``, ``rank`` (1-based, rank ≤ k).
+    With ``max_radius`` it is the reference's `KBallSearch` (k nearest within
+    a ball, src/interpneighbors.jl:72-84); targets with no qualifying source
+    are absent from the output (consumers left-join to keep them).
+    """
+    t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
+    s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
+    tx, ty = (f"t_{c}" for c in t_coords)
+    sx, sy = (f"s_{c}" for c in s_coords)
+    tid, sid = f"t_{t_id}", f"s_{s_id}"
+
+    n_sources = sources.count()
+    if n_sources == 0:
+        raise ValueError("knn_join: empty source side")
+    x0, y0, x1, y1 = _union_bounds(t, (tx, ty), s, (sx, sy))
+    res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(32, 4 * k))
+    if max_radius is not None:
+        # never finer than the ball: keeps the ring count for the radius bound small
+        res = min(res, C.pick_resolution(x0, y0, x1, y1, max_radius))
+    grid = C.CellGrid(x0, y0, x1, y1, res)
+    diag = math.hypot(x1 - x0, y1 - y0)
+
+    s_cells = C.with_cell(s, grid, x=sx, y=sy, out="_cell").persist()
+    w = Window.partitionBy(tid).orderBy(F.col("dist"), F.col(sid))
+
+    remaining = t.persist()
+    ring = 1
+    pieces = []
+    persisted = [s_cells, remaining]
+    for _ in range(max_rounds):
+        t_cells = C.kring_exploded(remaining, grid, ring, x=tx, y=ty, out="_cell")
+        cand = _salted_cell_join(t_cells, s_cells, salt_threshold)
+        cand = cand.withColumn("dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy)))
+        if max_radius is not None:
+            cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
+        if exclude_same_id:
+            cand = cand.filter(F.col(tid) != F.col(sid))
+        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("_cell")
+        ranked = ranked.persist()
+        persisted.append(ranked)
+
+        guaranteed = ring * grid.min_cell_edge
+        covers_all = guaranteed >= diag or (max_radius is not None and guaranteed >= max_radius)
+        if covers_all:
+            pieces.append(ranked)
+            remaining = None
+            break
+
+        stats = ranked.groupBy(tid).agg(F.max("dist").alias("_kth"), F.count("*").alias("_cnt"))
+        settled_ids = stats.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(guaranteed))).select(tid)
+        pieces.append(ranked.join(settled_ids, tid, "left_semi"))
+        settled_alias = settled_ids.select(F.col(tid).alias("_settled_id"))
+        nxt = remaining.join(
+            settled_alias, remaining[tid] == settled_alias["_settled_id"], "left_anti"
+        ).persist()
+        persisted.append(nxt)
+        if nxt.isEmpty():
+            remaining = None
+            break
+        remaining = nxt
+        ring *= 2
+    else:
+        # exhausted rounds: final full-coverage pass (ring spans the grid)
+        t_cells = C.kring_exploded(remaining, grid, grid.n, x=tx, y=ty, out="_cell")
+        cand = t_cells.join(s_cells, "_cell").withColumn(
+            "dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy))
+        )
+        if max_radius is not None:
+            cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
+        if exclude_same_id:
+            cand = cand.filter(F.col(tid) != F.col(sid))
+        pieces.append(cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("_cell"))
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    # Unpersisting is safe (lineage recomputes deterministically: the rank
+    # window has a total-order tie-break); we keep the final round's ranked
+    # pieces cached since consumers typically aggregate them immediately.
+    s_cells.unpersist()
+    return out

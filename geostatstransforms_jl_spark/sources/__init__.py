@@ -1,0 +1,3 @@
+from .catalog import load_table, TABLES
+
+__all__ = ["load_table", "TABLES"]

@@ -1,0 +1,159 @@
+"""Upscale / Downscale / Aggregate / Transfer tests replicating the
+reference's inline oracles (test/upscale.jl, test/downscale.jl,
+test/aggregate.jl, test/transfer.jl).  Reference indices are 1-based
+column-major; ours are 0-based (i, j)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.core.geotable import GeoTable, GridDomain, georef_grid, georef_points
+from geostatstransforms_jl_spark.core.grid import GridMeta
+from geostatstransforms_jl_spark.operators import Aggregate, Downscale, Transfer, Upscale
+
+
+def make_grid_df(spark, meta: GridMeta, seed=7):
+    rng = np.random.default_rng(seed)
+    a = rng.random((meta.nx, meta.ny))
+    b = rng.integers(0, 1000, (meta.nx, meta.ny))
+    rows = [
+        (int(i), int(j), float(a[i, j]), int(b[i, j]))
+        for j in range(meta.ny)
+        for i in range(meta.nx)
+    ]
+    df = spark.createDataFrame(rows, "i int, j int, a double, b long")
+    return df, a, b
+
+
+def test_upscale_2x2(spark):
+    meta = GridMeta(20, 20, 0.0, 0.0, 0.5, 0.5)
+    df, a, b = make_grid_df(spark, meta)
+    gt = georef_grid(df, meta)
+    out, _ = Upscale((2, 2)).apply(gt)
+    assert isinstance(out.domain, GridDomain)
+    assert (out.domain.meta.nx, out.domain.meta.ny) == (10, 10)
+    got = {(r.i, r.j): r for r in out.df.collect()}
+    assert len(got) == 100
+    for (ti, tj) in [(0, 0), (0, 9), (9, 0), (9, 9)]:
+        blk = a[2 * ti : 2 * ti + 2, 2 * tj : 2 * tj + 2]
+        assert got[(ti, tj)].a == pytest.approx(blk.mean())
+        assert got[(ti, tj)].b == int(b[2 * ti, 2 * tj])  # first = lowest (i, j)
+
+
+def test_upscale_ragged(spark):
+    # reference test/upscale.jl:68-81: 13×17 grid, factors (5,3) → 3×6
+    meta = GridMeta(13, 17)
+    df, a, b = make_grid_df(spark, meta)
+    out, _ = Upscale((5, 3)).apply(georef_grid(df, meta))
+    m = out.domain.meta
+    assert (m.nx, m.ny) == (3, 6)
+    got = {(r.i, r.j): r for r in out.df.collect()}
+    assert len(got) == 18
+    # ragged corner block (11:13, 16:17) 1-based = [10:13, 15:17) 0-based
+    blk = a[10:13, 15:17]
+    assert got[(2, 5)].a == pytest.approx(blk.mean())
+    assert got[(2, 5)].b == int(b[10, 15])
+
+
+def test_upscale_trailing_factor_fitdims(spark):
+    meta = GridMeta(4, 4)
+    df, a, b = make_grid_df(spark, meta)
+    out, _ = Upscale((2,)).apply(georef_grid(df, meta))  # (2,) → (2, 2)
+    assert (out.domain.meta.nx, out.domain.meta.ny) == (2, 2)
+
+
+def test_downscale_replicates(spark):
+    meta = GridMeta(10, 10, 0.0, 0.0, 1.0, 1.0)
+    df, a, b = make_grid_df(spark, meta)
+    out, _ = Downscale((2, 2)).apply(georef_grid(df, meta))
+    m = out.domain.meta
+    assert (m.nx, m.ny) == (20, 20)
+    got = {(r.i, r.j): r for r in out.df.collect()}
+    assert len(got) == 400
+    for (i, j) in [(0, 0), (1, 1), (19, 19), (5, 12)]:
+        assert got[(i, j)].a == pytest.approx(a[i // 2, j // 2])
+        assert got[(i, j)].b == int(b[i // 2, j // 2])
+
+
+def test_aggregate_grid_fast_path(spark):
+    # reference test/aggregate.jl:30-43: 20×20 → 10×10 aligned grids
+    s = GridMeta(20, 20, 0.0, 0.0, 0.5, 0.5)
+    t = GridMeta(10, 10, 0.0, 0.0, 1.0, 1.0)
+    df, a, b = make_grid_df(spark, s)
+    out, _ = Aggregate(t).apply(georef_grid(df, s))
+    got = {(r.i, r.j): r for r in out.df.collect()}
+    assert len(got) == 100
+    blk = a[0:2, 18:20]
+    assert got[(0, 9)].a == pytest.approx(blk.mean())
+    assert got[(0, 9)].b == int(b[0, 18])
+
+
+def test_aggregate_points_knn(spark):
+    # reference test/aggregate.jl:4-16: 5 source pts → 3 target pts via 1-NN
+    pts1 = [(5.0, 4.0), (3.0, 4.0), (0.0, 1.0), (7.0, 0.0), (7.0, 2.0)]
+    pts2 = [(1.0, 1.0), (7.0, 1.0), (4.0, 4.0)]
+    avals = [0.1, 0.2, 0.3, 0.4, 0.5]
+    bvals = [10, 20, 30, 40, 50]
+    src = spark.createDataFrame(
+        [(i, x, y, avals[i], bvals[i]) for i, (x, y) in enumerate(pts1)],
+        "row_id long, x double, y double, a double, b long",
+    )
+    tgt = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts2)], "row_id long, x double, y double"
+    )
+    out, _ = Aggregate(georef_points(tgt)).apply(georef_points(src))
+    got = {r.row_id: r for r in out.df.collect()}
+    assert got[0].a == pytest.approx(avals[2])  # target (1,1) ← src 3 (0-based 2)
+    assert got[1].a == pytest.approx(np.mean([avals[3], avals[4]]))
+    assert got[2].a == pytest.approx(np.mean([avals[0], avals[1]]))
+    assert got[0].b == 30 and got[1].b == 40 and got[2].b == 10
+
+
+def test_aggregate_median_last_overrides(spark):
+    pts1 = [(5.0, 4.0), (3.0, 4.0), (0.0, 1.0), (7.0, 0.0), (7.0, 2.0)]
+    pts2 = [(1.0, 1.0), (7.0, 1.0), (4.0, 4.0)]
+    avals = [0.1, 0.2, 0.3, 0.4, 0.5]
+    bvals = [10, 20, 30, 40, 50]
+    src = spark.createDataFrame(
+        [(i, x, y, avals[i], bvals[i]) for i, (x, y) in enumerate(pts1)],
+        "row_id long, x double, y double, a double, b long",
+    )
+    tgt = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts2)], "row_id long, x double, y double"
+    )
+    out, _ = Aggregate(georef_points(tgt), {"a": "median", "b": "last"}).apply(georef_points(src))
+    got = {r.row_id: r for r in out.df.collect()}
+    assert got[1].a == pytest.approx(np.median([avals[3], avals[4]]))
+    assert got[1].b == 50 and got[2].b == 20
+
+
+def test_transfer_points_knn(spark):
+    # reference test/transfer.jl:4-20 — roles flipped vs aggregate
+    pts1 = [(1.0, 1.0), (7.0, 1.0), (4.0, 4.0)]
+    pts2 = [(5.0, 4.0), (3.0, 4.0), (0.0, 1.0), (7.0, 0.0), (7.0, 2.0)]
+    avals = [0.1, 0.2, 0.3]
+    src = spark.createDataFrame(
+        [(i, x, y, avals[i]) for i, (x, y) in enumerate(pts1)],
+        "row_id long, x double, y double, a double",
+    )
+    tgt = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts2)], "row_id long, x double, y double"
+    )
+    out, _ = Transfer(georef_points(tgt)).apply(georef_points(src))
+    got = {r.row_id: r for r in out.df.collect()}
+    expect = [0.3, 0.3, 0.1, 0.2, 0.2]
+    for i, e in enumerate(expect):
+        assert got[i].a == pytest.approx(e)
+
+
+def test_transfer_grid_fast_path(spark):
+    # reference test/transfer.jl:23-44: 10×10 → 20×20 aligned grids
+    s = GridMeta(10, 10, 0.0, 0.0, 1.0, 1.0)
+    t = GridMeta(20, 20, 0.0, 0.0, 0.5, 0.5)
+    df, a, b = make_grid_df(spark, s)
+    out, _ = Transfer(t).apply(georef_grid(df, s))
+    got = {(r.i, r.j): r for r in out.df.collect()}
+    assert len(got) == 400
+    for (i, j) in [(0, 0), (1, 1), (0, 18), (19, 19), (18, 1)]:
+        assert got[(i, j)].a == pytest.approx(a[i // 2, j // 2])
+        assert got[(i, j)].b == int(b[i // 2, j // 2])
