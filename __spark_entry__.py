@@ -125,6 +125,31 @@ def q_knn_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("row_id").alias("supp"), F.round(F.col("bal"), 6).alias("bal"))
 
 
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.core.geotable import georef_points
+    from geostatstransforms_jl_spark.functions.models import IDW
+    from geostatstransforms_jl_spark.operators import Interpolate
+
+    src = _customer_points(spark, sf_dir).join(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("row_id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ),
+        "row_id",
+    )
+    tgt = _supplier_points(spark, sf_dir).select("row_id", "x", "y")
+    out, _ = Interpolate(tgt, model=IDW()).apply(georef_points(src))
+    return out.df.select(F.col("row_id").alias("supp"), F.round("bal", 6).alias("bal"))
+
+
+def q_droplocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.operators.droplocallowhigh import drop_local_low_high_df
+
+    pts = _supplier_points(spark, sf_dir)
+    out = drop_local_low_high_df(pts, radius=20.0, low=0.25, high=0.75)
+    return out.select(F.col("row_id").alias("supp"), "bal")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -138,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_median": q_aggregate_median,
         "knn_transfer": q_knn_transfer,
         "knn_aggregate": q_knn_aggregate,
+        "idw_interpolate": q_idw_interpolate,
+        "droplocal_outliers": q_droplocal,
     }
 
 
@@ -248,5 +275,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.row_id AS supp, ROUND(AVG(a.bal), 6) AS bal
             FROM t LEFT JOIN assigned a ON a.tgt = t.row_id
             GROUP BY t.row_id
+        """,
+        "idw_interpolate": f"""
+            WITH s AS (
+              SELECT c_custkey::BIGINT AS sid,
+                     (c_custkey % 97)::DOUBLE AS x,
+                     (c_custkey % 89)::DOUBLE AS y,
+                     c_acctbal::DOUBLE AS bal
+              FROM customer
+            ), t AS ({_SUPP_PTS}),
+            pairs AS (
+              SELECT t.row_id AS supp, s.sid, s.bal,
+                     sqrt((t.x - s.x) * (t.x - s.x) + (t.y - s.y) * (t.y - s.y)) AS dist
+              FROM t CROSS JOIN s
+            ),
+            agg AS (
+              SELECT supp,
+                     SUM(CASE WHEN dist >= 1e-12 THEN bal / dist END) AS num,
+                     SUM(CASE WHEN dist >= 1e-12 THEN 1.0 / dist END) AS den
+              FROM pairs GROUP BY supp
+            ),
+            hit AS (
+              SELECT supp, bal FROM (
+                SELECT supp, bal,
+                       ROW_NUMBER() OVER (PARTITION BY supp ORDER BY dist, sid) AS rn
+                FROM pairs WHERE dist < 1e-12
+              ) WHERE rn = 1
+            )
+            SELECT a.supp, ROUND(COALESCE(h.bal, a.num / a.den), 6) AS bal
+            FROM agg a LEFT JOIN hit h USING (supp)
+        """,
+        "droplocal_outliers": f"""
+            WITH p AS ({_SUPP_PTS}),
+            pairs AS (
+              SELECT a.row_id AS center, a.bal AS v, b.bal AS nb
+              FROM p a JOIN p b
+                ON sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 20.0
+            ),
+            stats AS (
+              SELECT center, ANY_VALUE(v) AS v,
+                     QUANTILE_CONT(nb, 0.25) AS l,
+                     QUANTILE_CONT(nb, 0.75) AS h
+              FROM pairs GROUP BY center
+            )
+            SELECT p.row_id AS supp, p.bal
+            FROM p
+            WHERE p.row_id NOT IN (
+              SELECT center FROM stats WHERE v IS NOT NULL AND (v < l OR v > h)
+            )
         """,
     }

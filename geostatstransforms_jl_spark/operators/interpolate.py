@@ -1,0 +1,157 @@
+"""Interpolate / InterpolateNeighbors — interpolation onto a target domain.
+
+Reference semantics:
+* `Interpolate` (src/interpolate.jl:35-58) fits the model on **all samples at
+  once** (`neighbors=false`).  Spark plan: targets × broadcast(samples) — the
+  sample side is small by the operator's own contract (the reference warns
+  Kriging over all samples "can be prohibitive"), so the cross join broadcasts
+  and never shuffles the target side; NN/IDW then reduce per target in one
+  hash aggregate.
+* `InterpolateNeighbors` (src/interpneighbors.jl:47-87) uses per-target local
+  neighborhoods: ≤ maxneighbors nearest samples (kNN) and/or a MetricBall
+  radius; targets with < minneighbors get NULL.  Spark plan: the cell-ring
+  kNN join (functions/knn.py) + per-target reduction (SQL for NN/IDW, grouped
+  pandas UDF for Kriging).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.geotable import GeoTable, GridDomain, PointDomain, full_grid
+from ..core.grid import GridMeta
+from ..functions.knn import knn_join
+from ..functions.models import IDW, NN, Kriging, kriging_reduce
+
+
+def _target_df(spark, tgt, row_id="row_id"):
+    """Normalize a target domain (GridMeta | GeoTable | DataFrame) to a point
+    DataFrame (row_id, x, y) plus the output GeoTable domain."""
+    if isinstance(tgt, GridMeta):
+        cells = full_grid(spark, tgt)
+        tdf = cells.select(
+            (F.col("i") + F.col("j") * F.lit(tgt.nx)).cast("long").alias(row_id),
+            "i",
+            "j",
+            (F.lit(tgt.ox) + (F.col("i") + F.lit(0.5)) * F.lit(tgt.sx)).alias("x"),
+            (F.lit(tgt.oy) + (F.col("j") + F.lit(0.5)) * F.lit(tgt.sy)).alias("y"),
+        )
+        return tdf, GridDomain(tgt)
+    if isinstance(tgt, GeoTable):
+        return tgt.df, tgt.domain
+    return tgt, PointDomain(("x", "y"))
+
+
+def _samples(gt: GeoTable):
+    d = gt.domain
+    if isinstance(d, GridDomain):
+        from ..core.geotable import grid_centroids
+
+        df = grid_centroids(gt)
+        drop = [c for c in (d.tile_col, *d.index_cols) if c]
+        return df.drop(*drop), ("x", "y")
+    assert isinstance(d, PointDomain)
+    return gt.df, d.coord_cols
+
+
+Model = Union[NN, IDW, Kriging]
+
+
+def interpolate_pairs_reduce(
+    pairs: DataFrame, model: Model, value_cols: Sequence[str], tid: str, min_neighbors: int = 1
+) -> DataFrame:
+    """Reduce neighbor pairs per target under the model."""
+    if isinstance(model, Kriging):
+        out = kriging_reduce(pairs, model, value_cols, tid, min_neighbors=min_neighbors)
+    else:
+        exprs = model.agg_exprs(value_cols, sid="s_row_id")
+        aggs = [exprs[c].alias(c) for c in value_cols] + [F.count("*").alias("_n")]
+        out = pairs.groupBy(tid).agg(*aggs)
+        if min_neighbors > 1:
+            out = out.select(
+                tid,
+                *[F.when(F.col("_n") >= min_neighbors, F.col(c)).otherwise(F.lit(None)).alias(c) for c in value_cols],
+            )
+        else:
+            out = out.drop("_n")
+    return out
+
+
+@dataclass
+class Interpolate:
+    """Global interpolation with all samples (reference default model NN)."""
+
+    target: Union[GridMeta, GeoTable, DataFrame]
+    model: Model = field(default_factory=NN)
+
+    def apply(self, gt: GeoTable):
+        spark = gt.df.sparkSession
+        sdf, s_coords = _samples(gt)
+        tdf, tdomain = _target_df(spark, self.target, gt.row_id)
+        value_cols = [c for c in sdf.columns if c not in {*s_coords, gt.row_id}]
+
+        # all-samples cross join; samples broadcast (small by contract)
+        t = tdf.select(F.col(gt.row_id).alias("t_row_id"), F.col("x").alias("t_x"), F.col("y").alias("t_y"))
+        s = F.broadcast(
+            sdf.select(
+                F.col(gt.row_id).alias("s_row_id"),
+                F.col(s_coords[0]).alias("s_x"),
+                F.col(s_coords[1]).alias("s_y"),
+                *[F.col(c).alias(f"s_{c}") for c in value_cols],
+            )
+        )
+        pairs = t.crossJoin(s).withColumn(
+            "dist",
+            F.sqrt(
+                (F.col("t_x") - F.col("s_x")) * (F.col("t_x") - F.col("s_x"))
+                + (F.col("t_y") - F.col("s_y")) * (F.col("t_y") - F.col("s_y"))
+            ),
+        )
+        reduced = interpolate_pairs_reduce(pairs, self.model, value_cols, "t_row_id")
+        out = tdf.join(reduced, tdf[gt.row_id] == reduced["t_row_id"], "left").drop("t_row_id")
+        if isinstance(tdomain, GridDomain):
+            out = out.drop("x", "y")
+        return GeoTable(out, tdomain, row_id=gt.row_id), None
+
+    __call__ = apply
+
+
+@dataclass
+class InterpolateNeighbors:
+    """Local interpolation with kNN / ball neighborhoods
+    (reference: src/interpneighbors.jl:47-87)."""
+
+    target: Union[GridMeta, GeoTable, DataFrame]
+    model: Model = field(default_factory=NN)
+    minneighbors: int = 1
+    maxneighbors: int = 10
+    radius: Optional[float] = None  # MetricBall neighborhood
+
+    def apply(self, gt: GeoTable):
+        spark = gt.df.sparkSession
+        sdf, s_coords = _samples(gt)
+        tdf, tdomain = _target_df(spark, self.target, gt.row_id)
+        value_cols = [c for c in sdf.columns if c not in {*s_coords, gt.row_id}]
+
+        pairs = knn_join(
+            tdf.select(gt.row_id, "x", "y"),
+            sdf,
+            k=self.maxneighbors,
+            t_id=gt.row_id,
+            s_id=gt.row_id,
+            s_coords=tuple(s_coords),
+            s_carry=value_cols,
+            max_radius=self.radius,
+        )
+        tid = f"t_{gt.row_id}"
+        reduced = interpolate_pairs_reduce(pairs, self.model, value_cols, tid, self.minneighbors)
+        out = tdf.join(reduced, tdf[gt.row_id] == reduced[tid], "left").drop(tid)
+        if isinstance(tdomain, GridDomain):
+            out = out.drop("x", "y")
+        return GeoTable(out, tdomain, row_id=gt.row_id), None
+
+    __call__ = apply
