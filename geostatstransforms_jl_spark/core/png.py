@@ -1,0 +1,154 @@
+"""Minimal pure-numpy+zlib PNG codec (no PIL in this environment).
+
+Supports 8-bit grayscale and RGB, which is all the synthetic image table
+needs.  Encoding always uses filter type 0 (None); decoding implements all
+five standard filters so externally produced PNGs also load.  Deterministic:
+fixed zlib level, no timestamps or ancillary chunks.
+
+The `fmt='jpeg'` path of the input contract is STUBBED: no JPEG codec exists
+in this container, so lossy images are represented as PNG bytes tagged
+``fmt='jpeg'`` plus a deterministic quantization (quality-like) step, keeping
+the PSNR≥40dB tolerance contract exercisable end-to-end.  decode_image raises
+NotImplementedError for real JPEG byte streams.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """arr: (h, w) grayscale or (h, w, 3) RGB, dtype uint8."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        color_type = 0
+        raw_rows = arr
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w = arr.shape[:2]
+        color_type = 2
+        raw_rows = arr.reshape(h, w * 3)
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 per scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), raw_rows], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f = ftypes[y]
+        cur = data[y].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth need sequential left neighbor
+            row = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    row[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    row[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[x] = (cur[x] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad filter {f}")
+            out[y] = row
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    w = h = None
+    color_type = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or color_type not in (0, 2) or interlace != 0:
+                raise NotImplementedError("only 8-bit gray/RGB non-interlaced PNG")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    ch = 3 if color_type == 2 else 1
+    stride = w * ch
+    out = _unfilter(raw, h, stride, ch)
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode the `bytes` column.  'png' and the deterministic pseudo-'jpeg'
+    stub decode via the PNG path; 'raw' is a headerless gray8 dump."""
+    if fmt in ("png", "jpeg"):
+        if data[:8] != _PNG_SIG:
+            raise NotImplementedError(
+                "real JPEG byte streams are not decodable in this container; "
+                "the synthetic table's fmt='jpeg' rows carry quantized PNG bytes"
+            )
+        return png_decode(data)
+    if fmt == "raw":
+        arr = np.frombuffer(data[8:], dtype=np.uint8)
+        h, w = struct.unpack(">II", data[:8])
+        return arr.reshape(h, w)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(arr)
+    if fmt == "jpeg":
+        # deterministic lossy stand-in: quantize to 64 levels (PSNR ≈ 47 dB on
+        # uniform noise) then PNG-encode — keeps the PSNR≥40dB contract real
+        q = (np.asarray(arr, dtype=np.uint8) & 0xFC) | 0x02
+        return png_encode(q)
+    if fmt == "raw":
+        a = np.ascontiguousarray(arr, dtype=np.uint8)
+        return struct.pack(">II", *a.shape[:2]) + a.tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = ((a - b) ** 2).mean()
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

@@ -5,6 +5,10 @@ from .aggregate import Aggregate
 from .transfer import Transfer
 from .interpolate import Interpolate, InterpolateNeighbors
 from .droplocallowhigh import DropLocalLowHigh, DropLocalLow, DropLocalHigh
+from .gradient import Gradient
+from .rasterize import Rasterize
+from .potrace import Potrace
+from .detrend import Detrend
 
 __all__ = [
     "UniqueCoords",
@@ -17,4 +21,8 @@ __all__ = [
     "DropLocalLowHigh",
     "DropLocalLow",
     "DropLocalHigh",
+    "Gradient",
+    "Rasterize",
+    "Potrace",
+    "Detrend",
 ]

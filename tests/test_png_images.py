@@ -1,0 +1,78 @@
+"""PNG codec + synthetic image table tests (BASELINE input contract F1)."""
+
+import numpy as np
+import pytest
+
+from geostatstransforms_jl_spark.core.images import (
+    make_image,
+    synthetic_images,
+    images_to_long,
+    tile_grid_meta,
+)
+from geostatstransforms_jl_spark.core.png import (
+    decode_image,
+    encode_image,
+    png_decode,
+    png_encode,
+    psnr,
+)
+
+
+def test_png_roundtrip_gray():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (33, 17), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(a)), a)
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 256, (8, 5, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(a)), a)
+
+
+def test_jpeg_stub_psnr():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    b = decode_image(encode_image(a, "jpeg"), "jpeg")
+    assert psnr(a, b) >= 40.0  # the contract's lossy tolerance
+
+
+def test_make_image_deterministic():
+    p1 = make_image(7)
+    p2 = make_image(7)
+    assert np.array_equal(p1[0], p2[0])
+    assert p1[5] == p2[5] and p1[6] == p2[6]  # caption, phash
+    # pixels round-trip through the encoded bytes
+    dec = decode_image(p1[4], p1[3])
+    if p1[3] == "png":
+        assert np.array_equal(dec, p1[0])
+    else:
+        assert psnr(dec, p1[0]) >= 40.0
+
+
+def test_synthetic_images_spark(spark):
+    df = synthetic_images(spark, 30, partitions=4)
+    rows = df.collect()
+    assert len(rows) == 30
+    assert set(df.columns) == {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
+    # distributed generation matches the pure function (partitioning-independent)
+    r7 = [r for r in rows if r.image_id == "img00000007"][0]
+    _, w, h, fmt, data, caption, phash = make_image(7)
+    assert (r7.w, r7.h, r7.fmt, r7.caption) == (w, h, fmt, caption)
+    assert bytes(r7.bytes) == data
+
+
+def test_images_to_long(spark):
+    df = synthetic_images(spark, 3, partitions=1)
+    long = images_to_long(df)
+    counts = {r.image_id: r["cnt"] for r in long.groupBy("image_id").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")).collect()}
+    metas = {r.image_id: (r.w, r.h) for r in df.collect()}
+    for iid, (w, h) in metas.items():
+        assert counts[iid] == w * h
+
+
+def test_tile_grid_meta():
+    m = tile_grid_meta(phash=12345678, w=32, h=16)
+    assert m.nx == 32 and m.ny == 16
+    assert 0 <= m.ox < 1 and 0 <= m.oy < 1

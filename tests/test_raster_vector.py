@@ -1,0 +1,286 @@
+"""Gradient / Rasterize / Potrace / Detrend tests vs the reference's fixtures
+(test/gradient.jl, test/rasterize.jl, test/potrace.jl, test/detrend.jl).
+Reference grid indices are 1-based column-major; ours 0-based (i, j)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.core.geotable import GeoTable, GeomDomain, GridDomain, georef_grid, georef_points
+from geostatstransforms_jl_spark.core.grid import GridMeta
+from geostatstransforms_jl_spark.operators import Detrend, Gradient, Potrace, Rasterize
+from geostatstransforms_jl_spark.operators.potrace import trace_mask
+from geostatstransforms_jl_spark.operators.rasterize import (
+    _point_cell,
+    _polygon_cells,
+    _segment_cells,
+    rasterize_df,
+)
+
+# ---------------- Gradient ----------------
+
+
+def test_gradient_constant_zero(spark):
+    meta = GridMeta(5, 5)
+    rows = [(i, j, 1.0) for i in range(5) for j in range(5)]
+    df = spark.createDataFrame(rows, "i int, j int, a double")
+    out, _ = Gradient("a").apply(georef_grid(df, meta))
+    assert set(out.df.columns) == {"i", "j", "a_x", "a_y"}
+    for r in out.df.collect():
+        assert r.a_x == 0.0 and r.a_y == 0.0
+
+
+def test_gradient_view_border(spark):
+    # reference test/gradient.jl:24-31: ones in the first grid column (j=0),
+    # viewed alone → a_x = 0, a_y = -0.5 on every view cell
+    meta = GridMeta(5, 5)
+    rows = [(i, 0, 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "i int, j int, a double")
+    out, _ = Gradient("a").apply(georef_grid(df, meta))
+    got = out.df.collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.a_x == 0.0 and r.a_y == -0.5
+    # last column (j=4) → +0.5
+    rows = [(i, 4, 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "i int, j int, a double")
+    out, _ = Gradient("a").apply(georef_grid(df, meta))
+    for r in out.df.collect():
+        assert r.a_x == 0.0 and r.a_y == 0.5
+
+
+def test_gradient_spacing_normalization(spark):
+    meta = GridMeta(4, 4, 0.0, 0.0, 2.0, 0.5)
+    rows = [(i, j, float(i)) for i in range(4) for j in range(4)]
+    df = spark.createDataFrame(rows, "i int, j int, a double")
+    out, _ = Gradient("a").apply(georef_grid(df, meta))
+    got = {(r.i, r.j): r for r in out.df.collect()}
+    # interior: d/di = 1 per cell → /sx=2 → 0.5
+    assert got[(1, 1)].a_x == pytest.approx(0.5)
+    assert got[(1, 1)].a_y == pytest.approx(0.0)
+
+
+# ---------------- Rasterize primitives ----------------
+
+
+def test_point_cell_boundary_rule():
+    m = GridMeta(10, 10)
+    # reference: point (3, 9) → 1-based cell (3, 9) = 0-based (2, 8)
+    assert _point_cell(3.0, 9.0, m) == (2, 8)
+    assert _point_cell(0.5, 0.5, m) == (0, 0)
+    assert _point_cell(10.0, 10.0, m) == (9, 9)
+
+
+def test_segment_supercover_corner():
+    m = GridMeta(20, 20, 0.0, 0.0, 0.5, 0.5)
+    # seg1 (3,9)-(7,8) touches 1-based cell (10, 17) = 0-based (9, 16) at its corner
+    cells = _segment_cells(3.0, 9.0, 7.0, 8.0, m)
+    assert (9, 16) in cells
+
+
+def test_polygon_cells_center_rule():
+    m = GridMeta(20, 20, 0.0, 0.0, 0.5, 0.5)
+    tri = [[(2.0, 0.0), (6.0, 2.0), (2.0, 2.0)]]
+    cells = set(_polygon_cells(tri, m))
+    assert (6, 2) in cells  # 1-based (7, 3)
+
+
+# ---------------- Rasterize DataFrame ----------------
+
+POLYS = {
+    1: [(2.0, 0.0), (6.0, 2.0), (2.0, 2.0)],
+    2: [(0.0, 6.0), (3.0, 8.0), (0.0, 10.0)],
+    3: [(3.0, 6.0), (9.0, 6.0), (9.0, 9.0), (6.0, 9.0)],
+    4: [(7.0, 0.0), (10.0, 0.0), (10.0, 4.0), (7.0, 4.0)],
+    5: [(1.0, 3.0), (5.0, 3.0), (6.0, 6.0), (3.0, 8.0), (0.0, 6.0)],
+}
+
+
+def _geom_df(spark, kinds_rings, a, b):
+    rows = []
+    for gid, (kind, rings) in enumerate(kinds_rings, start=1):
+        rows.append(
+            (gid, kind, [[{"x": float(x), "y": float(y)} for (x, y) in ring] for ring in rings],
+             a[gid - 1], b[gid - 1])
+        )
+    return spark.createDataFrame(
+        rows,
+        "row_id long, kind string, rings array<array<struct<x double, y double>>>, a long, b double",
+    )
+
+
+def test_rasterize_points(spark):
+    pts = [(3, 9), (7, 8), (8, 5), (5, 4), (1, 5)]
+    a = [1, 2, 3, 4, 5]
+    b = [1.1, 2.2, 3.3, 4.4, 5.5]
+    df = _geom_df(spark, [("point", [[p]]) for p in pts], a, b)
+    out, mask = rasterize_df(df, GridMeta(10, 10))
+    got = {(r.i, r.j): r for r in out.collect()}
+    assert len(got) == 100
+    # 1-based expected cells (3,9) (7,8) (8,5) (5,4) (1,5)
+    for (ci, cj), av, bv in [((2, 8), 1, 1.1), ((6, 7), 2, 2.2), ((7, 4), 3, 3.3),
+                             ((4, 3), 4, 4.4), ((0, 4), 5, 5.5)]:
+        assert got[(ci, cj)].a == av
+        assert got[(ci, cj)].b == pytest.approx(bv)
+    # uncovered cells are NULL
+    assert got[(9, 9)].a is None and got[(9, 9)].b is None
+
+
+def test_rasterize_segments(spark):
+    pts = [(3, 9), (7, 8), (8, 5), (5, 4), (1, 5)]
+    segs = [(pts[k], pts[(k + 1) % 5]) for k in range(5)]
+    a = [1, 2, 3, 4, 5]
+    b = [1.1, 2.2, 3.3, 4.4, 5.5]
+    df = _geom_df(spark, [("segment", [[p, q]]) for (p, q) in segs], a, b)
+    out, _ = rasterize_df(df, GridMeta(20, 20, 0.0, 0.0, 0.5, 0.5))
+    got = {(r.i, r.j): r for r in out.collect()}
+    # 1-based: (10,17)→1 (15,13)→2 (13,9)→3 (6,9)→4 (4,14)→5
+    for (ci, cj), av in [((9, 16), 1), ((14, 12), 2), ((12, 8), 3), ((5, 8), 4), ((3, 13), 5)]:
+        assert got[(ci, cj)].a == av, f"cell {(ci, cj)}"
+
+
+def test_rasterize_polygons_overlap_agg(spark):
+    a = [1, 2, 3, 4, 5]
+    b = [1.1, 2.2, 3.3, 4.4, 5.5]
+    df = _geom_df(spark, [("polygon", [POLYS[k]]) for k in range(1, 6)], a, b)
+    out, mask = rasterize_df(
+        df, GridMeta(20, 20, 0.0, 0.0, 0.5, 0.5), overrides={"a": "last", "b": "mean"}
+    )
+    got = {(r.i, r.j): r for r in out.collect()}
+    for (ci, cj), av, bv in [((6, 2), 1, 1.1), ((2, 15), 2, 2.2), ((14, 14), 3, 3.3),
+                             ((16, 4), 4, 4.4), ((5, 10), 5, 5.5)]:
+        assert got[(ci, cj)].a == av
+        assert got[(ci, cj)].b == pytest.approx(bv)
+    # intersection poly3 ∩ poly5 at 1-based (9, 13) = 0-based (8, 12):
+    # a => last = 5, b => mean(3.3, 5.5)
+    assert got[(8, 12)].a == 5
+    assert got[(8, 12)].b == pytest.approx((3.3 + 5.5) / 2)
+    # mask: last writer wins
+    mrows = {(r.i, r.j): r.mask for r in mask.collect()}
+    assert mrows[(8, 12)] == 5
+
+
+# ---------------- Potrace (pure trace) ----------------
+
+
+def test_trace_single_square():
+    mask = np.zeros((4, 4), dtype=bool)
+    mask[1:3, 1:3] = True
+    polys = trace_mask(mask, GridMeta(4, 4))
+    assert len(polys) == 1
+    assert len(polys[0]) == 1  # no holes
+    ring = polys[0][0]
+    xs = {p["x"] for p in ring}
+    ys = {p["y"] for p in ring}
+    assert xs == {1.0, 3.0} or xs == {1.0, 2.0, 3.0}
+    assert min(xs) == 1.0 and max(xs) == 3.0
+    assert min(ys) == 1.0 and max(ys) == 3.0
+
+
+def test_trace_ring_with_hole():
+    mask = np.zeros((10, 10), dtype=bool)
+    mask[2:8, 2:8] = True
+    mask[4:6, 4:6] = False
+    polys = trace_mask(mask, GridMeta(10, 10))
+    assert len(polys) == 1
+    assert len(polys[0]) == 2  # outer + one hole
+
+
+def test_trace_concentric_circles():
+    # reference test/potrace.jl:24-49
+    meta = GridMeta(100, 100, -5.0, -5.0, 0.1, 0.1)
+    ii, jj = np.mgrid[0:100, 0:100]
+    cx = meta.ox + (ii + 0.5) * meta.sx
+    cy = meta.oy + (jj + 0.5) * meta.sy
+    r2 = cx**2 + cy**2
+    mask = np.zeros((100, 100))
+    mask[r2 <= 9.0] = 1
+    mask[r2 <= 4.0] = 0
+    mask[r2 <= 1.0] = 1
+    polys_one = trace_mask(mask == 1, meta)
+    polys_zero = trace_mask(mask == 0, meta)
+    # color 1 → annulus (with hole) + inner disk = 2 polys; annulus has a hole
+    assert len(polys_one) == 2
+    assert sorted(len(p) for p in polys_one) == [1, 2]
+    # color 0 → background (hole at ball3) + ring between ball1 and ball2
+    assert len(polys_zero) == 2
+    assert sorted(len(p) for p in polys_zero) == [2, 2]
+
+
+def test_potrace_df_aggregation(spark):
+    # reference test/potrace.jl:52-62: Z = sin(i/10)+sin(j/10), M = Z > 0
+    n = 50
+    vals = []
+    for i in range(n):
+        for j in range(n):
+            z = np.sin((i + 1) / 10) + np.sin((j + 1) / 10)
+            vals.append((i, j, float(z), bool(z > 0)))
+    df = spark.createDataFrame(vals, "i int, j int, z double, m boolean")
+    meta = GridMeta(n, n)
+    out, cache = Potrace("m", {"z": "mean"}).apply(georef_grid(df, meta))
+    rows = {r.m: r for r in out.df.collect()}
+    assert set(rows.keys()) == {True, False}
+    zs = np.array([v[2] for v in vals])
+    ms = np.array([v[3] for v in vals])
+    assert rows[True].z == pytest.approx(zs[ms].mean())
+    assert rows[False].z == pytest.approx(zs[~ms].mean())
+    assert cache == meta
+
+
+def test_potrace_rasterize_roundtrip(spark):
+    # revert(Potrace) = Rasterize on the cached grid recovers the mask exactly
+    meta = GridMeta(30, 30)
+    rng = np.random.default_rng(5)
+    mask = np.zeros((30, 30), dtype=int)
+    mask[5:20, 8:25] = 1
+    mask[10:14, 12:18] = 0
+    mask[26:29, 2:6] = 1
+    rows = [(i, j, int(mask[i, j])) for i in range(30) for j in range(30)]
+    df = spark.createDataFrame(rows, "i int, j int, m int")
+    traced, cache = Potrace("m").apply(georef_grid(df, meta))
+    # explode multi-polygons to single polygons and rasterize back
+    flat = traced.df.select("m", F.posexplode("polys").alias("k", "rings"))
+    flat = flat.withColumn("row_id", F.monotonically_increasing_id()).withColumn(
+        "kind", F.lit("polygon")
+    )
+    out, _ = rasterize_df(flat.select("row_id", "kind", "rings", "m"), meta)
+    got = {(r.i, r.j): r.m for r in out.collect()}
+    for i in range(30):
+        for j in range(30):
+            assert got[(i, j)] == mask[i, j], f"cell {(i, j)}"
+
+
+# ---------------- Detrend ----------------
+
+
+def test_detrend_roundtrip(spark):
+    # reference test/detrend.jl:1-13: z = x² + y² + noise, degree 2;
+    # apply ∘ revert ≈ identity
+    rng = np.random.default_rng(42)
+    n = 40
+    rows = []
+    for k in range(n * n):
+        x = -1 + 2 * (k % n) / (n - 1)
+        y = -1 + 2 * (k // n) / (n - 1)
+        z = x * x + y * y + 0.1 * rng.random()
+        w = rng.random()
+        rows.append((k, x, y, float(z), float(w)))
+    df = spark.createDataFrame(rows, "row_id long, x double, y double, z double, w double")
+    gt = georef_points(df)
+    op = Detrend(["z"], degree=2)
+    out, cache = op.apply(gt)
+    # detrended z has ~zero quadratic structure; untouched w unchanged
+    back = op.revert(out, cache)
+    orig = {r.row_id: (r.z, r.w) for r in df.collect()}
+    rec = {r.row_id: (r.z, r.w) for r in back.df.collect()}
+    for k in orig:
+        assert rec[k][0] == pytest.approx(orig[k][0], abs=1e-6)
+        assert rec[k][1] == pytest.approx(orig[k][1], abs=1e-12)
+
+
+def test_detrend_removes_trend(spark):
+    rows = [(k, float(k % 10), float(k // 10), 3.0 + 2.0 * (k % 10)) for k in range(100)]
+    df = spark.createDataFrame(rows, "row_id long, x double, y double, z double")
+    out, _ = Detrend(["z"], degree=1).apply(georef_points(df))
+    res = out.df.agg(F.max(F.abs("z"))).first()[0]
+    assert res == pytest.approx(0.0, abs=1e-8)
