@@ -9,6 +9,7 @@ from .gradient import Gradient
 from .rasterize import Rasterize
 from .potrace import Potrace
 from .detrend import Detrend
+from .seqfilters import ModeFilter, Quenching, MaxPosterior
 
 __all__ = [
     "UniqueCoords",
@@ -25,4 +26,7 @@ __all__ = [
     "Rasterize",
     "Potrace",
     "Detrend",
+    "ModeFilter",
+    "Quenching",
+    "MaxPosterior",
 ]

@@ -1,0 +1,174 @@
+"""SLIC / GHC / GSC + ModeFilter / Quenching / MaxPosterior tests replicating
+reference fixtures (test/clustering.jl, test/modefilter.jl, test/quenching.jl,
+test/maxposterior.jl)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.clustering import GHC, GSC, SLIC
+from geostatstransforms_jl_spark.clustering.slic import slic_spacing
+from geostatstransforms_jl_spark.core.geotable import georef_grid, georef_points
+from geostatstransforms_jl_spark.core.grid import GridMeta
+from geostatstransforms_jl_spark.operators import MaxPosterior, ModeFilter, Quenching
+
+
+def _grid_df(spark, nx, ny, fn, name="z"):
+    rows = [(i, j, float(fn(i + 1, j + 1))) for j in range(ny) for i in range(nx)]
+    return spark.createDataFrame(rows, f"i int, j int, {name} double")
+
+
+def test_slic_spacing_recursion():
+    # reference test/clustering.jl:63-66
+    s = slic_spacing(20, [10.0, 100.0, 1000.0])
+    assert s[0] == pytest.approx(10 / 3)
+    assert s[1] == pytest.approx(100 / 3)
+    assert s[2] == pytest.approx(1000 / 3)
+
+
+def test_slic_four_blocks(spark):
+    # reference test/clustering.jl:3-5: Z = 4 constant 10×10 blocks in a
+    # 20×20 grid → labels must reproduce the block pattern exactly
+    def z(i, j):  # 1-based like the reference fixture
+        return (1 if j <= 10 else 3) + (0 if i <= 10 else 1)
+
+    df = _grid_df(spark, 20, 20, z, "Z")
+    meta = GridMeta(20, 20)
+    out, _ = SLIC(4, 1.0).apply(georef_grid(df, meta))
+    got = {}
+    for r in out.df.collect():
+        # recover (i, j) from centroid coords
+        got[(int(r.x - 0.5), int(r.y - 0.5))] = r.label
+    for i in range(20):
+        for j in range(20):
+            expect = (1 if i < 10 else 2) + (0 if j < 10 else 2)
+            assert got[(i, j)] == expect, f"cell {(i, j)}"
+
+
+def test_slic_radial_cluster_count(spark):
+    # reference test/clustering.jl:8-10: 100×100 radial field, SLIC(50, 0.001)
+    df = _grid_df(spark, 100, 100, lambda i, j: np.sqrt(i**2 + j**2))
+    out, _ = SLIC(50, 0.001).apply(georef_grid(df, GridMeta(100, 100)))
+    n = out.df.select("label").distinct().count()
+    assert 50 <= n <= 60
+
+
+def test_slic_hetero_points(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (k, float(rng.random()), float(rng.random()), float(rng.random()), float(k + 1))
+        for k in range(10)
+    ]
+    df = spark.createDataFrame(rows, "row_id long, x double, y double, a double, b double")
+    out, _ = SLIC(2, 1.0).apply(georef_points(df))
+    labs = {r.label for r in out.df.collect()}
+    assert labs <= {1, 2}
+    assert out.df.count() == 10  # orphans all assigned
+
+
+def test_ghc_four_blocks(spark):
+    # reference test/clustering.jl:94-97: exact label pattern
+    def z(i, j):
+        return (1 if j <= 10 else 3) + (0 if i <= 10 else 1)
+
+    df = _grid_df(spark, 20, 20, z, "Z")
+    out, _ = GHC(4, 1.0).apply(georef_grid(df, GridMeta(20, 20)))
+    got = {(int(r.x - 0.5), int(r.y - 0.5)): r.label for r in out.df.collect()}
+    for i in range(20):
+        for j in range(20):
+            expect = (1 if i < 10 else 2) + (0 if j < 10 else 2)
+            assert got[(i, j)] == expect, f"cell {(i, j)}"
+
+
+def test_ghc_cluster_counts(spark):
+    df = _grid_df(spark, 10, 10, lambda i, j: np.sqrt(i**2 + j**2))
+    out, _ = GHC(10, 1.0).apply(georef_grid(df, GridMeta(10, 10)))
+    assert out.df.select("label").distinct().count() == 10
+
+    df = _grid_df(spark, 10, 10, lambda i, j: 10 * np.sin(i / 10) + j)
+    out, _ = GHC(3, 1.0).apply(georef_grid(df, GridMeta(10, 10)))
+    assert out.df.select("label").distinct().count() == 3
+
+
+def test_ghc_multi_k(spark):
+    df = _grid_df(spark, 10, 10, lambda i, j: 10 * np.sin(i / 10) + j)
+    out, _ = GHC([3, 5], 1.0).apply(georef_grid(df, GridMeta(10, 10)))
+    assert out.df.select("label1").distinct().count() == 3
+    assert out.df.select("label2").distinct().count() == 5
+
+
+def test_gsc_cluster_count(spark):
+    # reference test/clustering.jl:117-120
+    df = _grid_df(spark, 10, 10, lambda i, j: 10 * np.sin(i / 10) + j, "Z")
+    out, _ = GSC(10, 2.0).apply(georef_grid(df, GridMeta(10, 10)))
+    labs = {r.label for r in out.df.collect()}
+    assert labs == set(range(1, 11))
+
+
+# ---------------- sequential filters ----------------
+
+
+def _striped(spark):
+    # reference fixture: z = iseven(i) on a 10×10 grid (1-based i)
+    rows = [(i, j, (i + 1) % 2 == 0) for j in range(10) for i in range(10)]
+    return spark.createDataFrame(rows, "i int, j int, z boolean")
+
+
+SKIP_LINEAR = [0, 9, 90, 99]  # reference skip = [1,10,91,100] 1-based
+
+
+def test_modefilter_value_set_and_skip(spark):
+    df = _striped(spark)
+    gt = georef_grid(df, GridMeta(10, 10))
+    out, _ = ModeFilter().apply(gt)
+    vals = {r.z for r in out.df.collect()}
+    assert vals <= {True, False}
+
+    out, _ = ModeFilter(skip=SKIP_LINEAR).apply(gt)
+    got = {(r.i, r.j): r.z for r in out.df.collect()}
+    orig = {(r.i, r.j): r.z for r in df.collect()}
+    for lin in SKIP_LINEAR:
+        i, j = lin % 10, lin // 10
+        assert got[(i, j)] == orig[(i, j)]
+
+
+def test_quenching_value_set_and_skip(spark):
+    df = _striped(spark)
+    gt = georef_grid(df, GridMeta(10, 10))
+    out, _ = Quenching("spherical").apply(gt)
+    vals = {r.z for r in out.df.collect()}
+    assert vals <= {True, False}
+
+    out, _ = Quenching("spherical", skip=SKIP_LINEAR).apply(gt)
+    got = {(r.i, r.j): r.z for r in out.df.collect()}
+    orig = {(r.i, r.j): r.z for r in df.collect()}
+    for lin in SKIP_LINEAR:
+        i, j = lin % 10, lin // 10
+        assert got[(i, j)] == orig[(i, j)]
+
+
+def test_maxposterior_value_set_and_skip(spark):
+    df = _striped(spark)
+    gt = georef_grid(df, GridMeta(10, 10))
+    out, _ = MaxPosterior("spherical").apply(gt)
+    vals = {r.z for r in out.df.collect()}
+    assert vals <= {True, False}
+
+    out, _ = MaxPosterior("spherical", skip=SKIP_LINEAR).apply(gt)
+    got = {(r.i, r.j): r.z for r in out.df.collect()}
+    orig = {(r.i, r.j): r.z for r in df.collect()}
+    for lin in SKIP_LINEAR:
+        i, j = lin % 10, lin // 10
+        assert got[(i, j)] == orig[(i, j)]
+
+
+def test_maxposterior_order_free_determinism(spark):
+    # neighbor reads use the immutable snapshot → two runs with different
+    # seeds must agree (src/maxposterior.jl:62-67)
+    df = _striped(spark)
+    gt = georef_grid(df, GridMeta(10, 10))
+    a, _ = MaxPosterior("spherical", seed=1).apply(gt)
+    b, _ = MaxPosterior("spherical", seed=2).apply(gt)
+    ra = {(r.i, r.j): r.z for r in a.df.collect()}
+    rb = {(r.i, r.j): r.z for r in b.df.collect()}
+    assert ra == rb
