@@ -1,0 +1,24 @@
+from .dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    minhash_dedup,
+    simhash_64,
+    simhash_pairs,
+    ngram_jaccard_pairs,
+)
+from .quality import lang_id, quality_scores, token_stats, doc_fingerprint
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_dedup",
+    "simhash_64",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "lang_id",
+    "quality_scores",
+    "token_stats",
+    "doc_fingerprint",
+]

@@ -1,0 +1,199 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+All hot paths are Catalyst expressions (explode + hash + hash-aggregate) —
+the shapes that survive 100 TB:
+
+* exact        — one hash aggregate on the normalized text;
+* MinHash+LSH  — shingle → k minhashes (k `min(xxhash64(shingle, seed))`
+                 aggregates in ONE pass) → band buckets → bucket equi-join →
+                 candidate pairs → optional exact-Jaccard verification;
+* SimHash      — 64-bit signature via per-bit weighted majorities, banded
+                 Hamming join;
+* n-gram Jaccard — exact similarity through an inverted-index self-join on
+                 shared shingles (never a cross join): |A∩B| from the join,
+                 |A∪B| = |A|+|B|−|A∩B|.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_text(col):
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def words(col):
+    return F.split(_norm_text(col), " ")
+
+
+def word_ngrams(col, n: int):
+    """Distinct word n-grams via a higher-order transform (JVM-side)."""
+    w = words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda p: F.concat_ws(" ", *[F.element_at(w, (p + i + 1).cast("int")) for i in range(n)]),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest id per group, count
+    duplicates.  One hash aggregate."""
+    return (
+        df.groupBy(_norm_text(F.col(text_col)).alias("_norm"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_norm")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, shingle: int = 3
+) -> DataFrame:
+    """(id, sig: array<long>) — k minhashes over word shingles, computed as k
+    `min()` aggregates in a single exploded pass (map-side combine applies)."""
+    ex = df.select(id_col, F.explode(word_ngrams(F.col(text_col), shingle)).alias("sh"))
+    mins = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    agged = ex.groupBy(id_col).agg(*mins)
+    return agged.select(id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4, threshold: float = 0.7
+) -> DataFrame:
+    """Banded LSH over signatures: documents sharing any band bucket become a
+    candidate pair; estimated Jaccard = fraction of equal minhashes; pairs
+    with est ≥ threshold survive.  Output: (a, b, est_jaccard), a < b."""
+    assert bands * rows <= 1000
+    b = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.concat_ws("_", *[F.col("sig")[i * rows + r] for r in range(rows)])).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l = b.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    r = b.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.size("sig_a")
+    return pairs.select("a", "b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 64, shingle: int = 3, bands: int = 16, rows: int = 4, threshold: float = 0.7,
+) -> DataFrame:
+    """Greedy near-dup removal: drop any document matched to a smaller id.
+    (Union-find over components would also collapse chains; greedy matches
+    the common training-pipeline policy and needs one anti-join.)"""
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle)
+    pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document — Arrow-batched pandas pass (the per-bit
+    majority needs 64 accumulators; one numpy matmul per batch beats 64
+    Catalyst aggregates)."""
+
+    # python hash() is salted per process — a stable FNV-1a keeps signatures
+    # deterministic across executors and runs
+    def run_stable(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+        def fnv(t: str) -> int:
+            h = 0xCBF29CE484222325
+            for ch in t.encode():
+                h ^= ch
+                h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for r in pdf.itertuples(index=False):
+                toks = str(r.text).lower().split()
+                if not toks:
+                    out_ids.append(r.doc_id)
+                    out_sigs.append(0)
+                    continue
+                hs = np.array([np.uint64(fnv(t)) for t in toks], dtype=np.uint64)
+                bits = ((hs[:, None] & bitmask[None, :]) != 0).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.uint64) * bitmask).sum())
+                out_ids.append(r.doc_id)
+                out_sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({id_col: out_ids, "simhash": out_sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run_stable, f"{id_col} long, simhash long")
+
+
+def simhash_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming via banded buckets
+    (pigeonhole: ≤3 differing bits over 4 16-bit bands ⇒ one band equal)."""
+    width = 64 // bands
+    b = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"),
+            )
+            for i in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    l = b.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "bucket")
+    r = b.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "bucket")
+    cand = l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via inverted-index self-join: only documents
+    sharing at least one shingle ever meet.  Output (a, b, jaccard), a < b."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    ).distinct()
+    sizes = grams.groupBy(id_col).count().withColumnRenamed("count", "sz")
+    l = grams.select(F.col(id_col).alias("a"), "g")
+    r = grams.select(F.col(id_col).alias("b"), "g")
+    inter = (
+        l.join(r, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    j = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .select("a", "b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

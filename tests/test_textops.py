@@ -1,0 +1,171 @@
+"""Dedup / text-analysis / ANN tests over deterministic fixtures and the
+driver documents/embeddings tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.functions.ann import cosine_topk, ivf_topk, lsh_topk
+from geostatstransforms_jl_spark.textops import (
+    doc_fingerprint,
+    exact_dedup,
+    lang_id,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash_64,
+    simhash_pairs,
+    token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different text about spark query engines at scale"),
+        (4, "der schnelle braune fuchs springt und der hund ist nicht da"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    got = {r.doc_id: r.dup_count for r in out.collect()}
+    assert got[0] == 2 and 1 not in got
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_minhash_pipeline(spark, docs):
+    sigs = minhash_signatures(docs, k=64, shingle=3)
+    assert sigs.count() == 5
+    pairs = minhash_lsh_pairs(sigs, bands=16, rows=4, threshold=0.5)
+    got = {(r.a, r.b): r.est_jaccard for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got or (1, 2) in got  # near dup shares most shingles
+    kept = minhash_dedup(docs, threshold=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 0 in ids and 1 not in ids
+    assert 3 in ids and 4 in ids
+
+
+def test_simhash(spark, docs):
+    sigs = simhash_64(docs)
+    by_id = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert by_id[0] == by_id[1]  # identical text → identical signature
+    pairs = simhash_pairs(sigs, max_hamming=16)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    # doc2 differs in one word → 3 of 10 distinct 3-grams change
+    assert (0, 2) in got and 0.5 < got[(0, 2)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_lang_id(spark, docs):
+    out = lang_id(docs)
+    got = {r.doc_id: r.lang_pred for r in out.collect()}
+    assert got[0] == "en" and got[4] == "de"
+
+
+def test_lang_id_on_driver_docs(spark):
+    # driver documents are synthetic English-ish token soup regardless of
+    # their `lang` label — the heuristic should classify them as English
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = lang_id(docs)
+    n = out.count()
+    en = out.filter(F.col("lang_pred") == "en").count()
+    assert en / n > 0.9, f"en ratio {en/n}"
+
+
+def test_token_and_quality(spark, docs):
+    t = token_stats(docs)
+    r0 = t.filter(F.col("doc_id") == 0).first()
+    assert r0.n_tokens == 12
+    assert r0.n_chars_engine == len("the quick brown fox jumps over the lazy dog again and again")
+    q = quality_scores(docs)
+    for r in q.collect():
+        assert 0.0 <= r.quality <= 1.0
+    r0 = q.filter(F.col("doc_id") == 0).first()
+    assert r0.stop_ratio == pytest.approx(3 / 12)
+
+
+def test_fingerprint_deterministic(spark, docs):
+    a = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    b = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    assert a == b
+    assert a[0] == a[1] and a[0] != a[3]
+
+
+# ---------------- ANN ----------------
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_cosine_topk_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(q, emb, k=3)
+    rows = out.collect()
+    assert len(rows) == 15
+    # verify against numpy
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    ids = pdf["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    for r in rows:
+        qi = int(np.where(ids == r.q_id)[0][0])
+        ci = int(np.where(ids == r.c_id)[0][0])
+        assert sims[qi, ci] == pytest.approx(r.cosine, abs=1e-5)
+    # top-1 matches numpy argmax (self excluded)
+    for qid in range(5):
+        qi = int(np.where(ids == qid)[0][0])
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        best = ids[int(np.argmax(s))]
+        got = [r.c_id for r in rows if r.q_id == qid and r.rank == 1][0]
+        assert got == best
+
+
+def _planted_queries(spark, emb, n=20, noise=0.05, seed=3):
+    """Near-duplicate queries: corpus vectors + small noise.  Their true
+    nearest neighbor is the source vector (cosine ≈ 1) — the ANN dedup
+    use-case the scale path must get right."""
+    pdf = emb.limit(n).toPandas()
+    rng = np.random.default_rng(seed)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        v = np.asarray(r.embedding, dtype=np.float32)
+        q = v + noise * rng.standard_normal(v.shape).astype(np.float32) * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((int(r.vec_id) + 100_000, q.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_topk_planted_recall(spark, emb):
+    q = _planted_queries(spark, emb)
+    approx = lsh_topk(q, emb, k=1, dim=64, n_tables=12, n_bits=8)
+    got = {r.q_id - 100_000: r.c_id for r in approx.filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for qid, cid in got.items() if qid == cid)
+    assert hits >= 18, f"planted-neighbor recall {hits}/20"
+
+
+def test_ivf_topk_planted_recall(spark, emb):
+    q = _planted_queries(spark, emb)
+    approx = ivf_topk(q, emb, k=1, n_centroids=8, nprobe=3)
+    got = {r.q_id - 100_000: r.c_id for r in approx.filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for qid, cid in got.items() if qid == cid)
+    assert hits >= 18, f"planted-neighbor recall {hits}/20"
