@@ -150,6 +150,100 @@ def q_droplocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("row_id").alias("supp"), "bal")
 
 
+# ------------------------------------------------- text / ANN / image ops
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.textops import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.textops import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs).select("doc_id", "n_tokens", "n_chars_engine")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.textops import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.textops import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.textops import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, threshold=0.7).select("doc_id", "lang", "source")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.textops import simhash_64, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(simhash_64(docs), max_hamming=10).select("a", "b", "hamming")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.functions.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 16)
+    out = cosine_topk(q, emb, k=5)
+    return out.select("q_id", "c_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.functions.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 16)
+    out = lsh_topk(q, emb, k=5, dim=64, n_tables=12, n_bits=8)
+    return out.select("q_id", "c_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed image path: deterministic synthetic table → per-tile Sobel
+    stats without exploding pixels (rows-only driver check: binary decode is
+    not DuckDB-expressible)."""
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.operators.gradient import gradient_packed
+
+    images = synthetic_images(spark, 200, partitions=8)
+    out = gradient_packed(images)
+    return out.select("image_id", F.round("grad_mean", 6).alias("grad_mean"),
+                      F.round("grad_max", 6).alias("grad_max"))
+
+
+def q_image_potrace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tiles → threshold mask → per-tile Potrace; returns per-image
+    polygon counts (rows-only check)."""
+    from geostatstransforms_jl_spark.core.images import synthetic_images, images_to_long
+    from geostatstransforms_jl_spark.core.grid import GridMeta
+    from geostatstransforms_jl_spark.operators.potrace import potrace_df
+
+    images = synthetic_images(spark, 24, partitions=4).filter(
+        (F.col("w") == 32) & (F.col("h") == 32)
+    )
+    long = images_to_long(images).withColumn("m", (F.col("z") > 127.5).cast("int")).drop("z")
+    out = potrace_df(long, "m", GridMeta(32, 32), tile_col="image_id")
+    return out.select("image_id", "m", F.size("polys").alias("n_polys"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -165,6 +259,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_aggregate": q_knn_aggregate,
         "idw_interpolate": q_idw_interpolate,
         "droplocal_outliers": q_droplocal,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "image_gradient": q_image_gradient,
+        "image_potrace": q_image_potrace,
     }
 
 
@@ -324,4 +428,95 @@ def oracle_sql() -> dict[str, str]:
               SELECT center FROM stats WHERE v IS NOT NULL AND (v < l OR v > h)
             )
         """,
+        "dedup_exact": r"""
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM (
+              SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+              FROM documents
+            )
+            GROUP BY norm
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+                   length(text) AS n_chars_engine
+            FROM documents
+        """,
+        "lang_id": _lang_id_oracle(),
+        "ngram_jaccard": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents
+            ),
+            g0 AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       p -> concat_ws(' ', w[p], w[p+1], w[p+2])
+                     )) AS grams
+              FROM d
+            ),
+            g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+            sz AS (SELECT doc_id, len(grams) AS sz FROM g0),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+              FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 16),
+            pairs AS (
+              SELECT q.q_id, c.vec_id AS c_id,
+                     list_dot_product(q.qv, c.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+                       AS cosine
+              FROM q CROSS JOIN e c
+              WHERE c.vec_id != q.q_id
+            ),
+            ranked AS (
+              SELECT q_id, c_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+              FROM pairs
+            )
+            SELECT q_id, c_id, ROUND(cosine, 5) AS cosine FROM ranked WHERE rn <= 5
+        """,
     }
+
+
+def _lang_id_oracle() -> str:
+    """Stopword-vote oracle generated from the engine's own profiles so both
+    sides stay in sync; ties resolve to the alphabetically smallest code."""
+    from geostatstransforms_jl_spark.textops.quality import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    counts = []
+    for lang in langs:
+        lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        counts.append(
+            f"len(list_filter(w, t -> list_contains([{lst}], t))) AS c_{lang}"
+        )
+    case = "CASE\n"
+    for i, lang in enumerate(langs):
+        conds = [f"c_{lang} >= c_{other}" for other in langs[i + 1 :]]
+        if conds:
+            case += f" WHEN {' AND '.join(conds)} THEN '{lang}'\n"
+        else:
+            case += f" ELSE '{lang}'\n"
+    case += "END"
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ),
+        c AS (SELECT doc_id, {', '.join(counts)} FROM d)
+        SELECT doc_id, {case} AS lang_pred FROM c
+    """
