@@ -1,0 +1,129 @@
+"""Pipeline composition + checkpoint/lineage + kill/resume + streaming tests."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.core.geotable import georef_grid, georef_points
+from geostatstransforms_jl_spark.core.grid import GridMeta
+from geostatstransforms_jl_spark.core.lineage import MANIFEST, LineageStore
+from geostatstransforms_jl_spark.operators import Detrend, Upscale, UniqueCoords
+from geostatstransforms_jl_spark.plans import Pipeline
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return LineageStore(str(tmp_path / "ckpt"))
+
+
+def _points(spark):
+    rows = [(k, float(k % 50), float(k % 7), float(k)) for k in range(500)]
+    return spark.createDataFrame(rows, "row_id long, x double, y double, a double")
+
+
+def test_pipeline_lazy_composition(spark):
+    gt = georef_points(_points(spark))
+    pipe = Pipeline([UniqueCoords(), Detrend(["a"], degree=1)])
+    out, caches = pipe.run(gt)
+    assert out.df.count() == 350  # 50*7 unique coordinate pairs
+    assert caches[1] is not None  # detrend cache present
+
+
+def test_pipeline_commit_and_manifest(spark, store):
+    gt = georef_points(_points(spark))
+    pipe = Pipeline([UniqueCoords()], store=store)
+    out, _ = pipe.run(gt)
+    n = out.df.count()
+    m = store.manifest(0, "uniquecoords")
+    assert m is not None
+    assert m["rows"] == n
+    assert m["partitions"] and all("hash" in p and "rows" in p for p in m["partitions"])
+    assert sum(p["rows"] for p in m["partitions"]) == n
+    assert store.validate(spark, 0, "uniquecoords")
+
+
+def test_resume_skips_valid_stages(spark, store):
+    calls = {"n": 0}
+
+    def counting_stage(df):
+        calls["n"] += 1
+        return df.withColumn("b", F.col("a") * 2)
+
+    counting_stage.__name__ = "double_a"
+    gt = georef_points(_points(spark))
+    pipe = Pipeline([UniqueCoords(), counting_stage], store=store)
+    out1, _ = pipe.run(gt)
+    r1 = {(r.x, r.y): r.b for r in out1.df.collect()}
+    assert calls["n"] == 1
+
+    out2, _ = pipe.run(gt, resume=True)
+    assert calls["n"] == 1  # second run replayed from snapshots
+    assert all(m["resumed"] for m in pipe.metrics)
+    r2 = {(r.x, r.y): r.b for r in out2.df.collect()}
+    assert r1 == r2
+
+
+def test_resume_rejects_corrupt_snapshot(spark, store):
+    gt = georef_points(_points(spark))
+    pipe = Pipeline([UniqueCoords()], store=store)
+    pipe.run(gt)
+    # corrupt the committed data: drop a parquet part file (simulated
+    # partial loss after a kill)
+    d = store.stage_dir(0, "uniquecoords")
+    parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    os.remove(os.path.join(d, parts[0]))
+    assert not store.validate(spark, 0, "uniquecoords")
+    out, _ = pipe.run(gt, resume=True)  # recomputes instead of trusting it
+    assert not pipe.metrics[0]["resumed"]
+    assert store.validate(spark, 0, "uniquecoords")
+
+
+def test_kill_leaves_no_half_commit(spark, store):
+    # a .tmp dir without rename must never validate
+    gt = georef_points(_points(spark))
+    pipe = Pipeline([UniqueCoords()], store=store)
+    pipe.run(gt)
+    final = store.stage_dir(0, "uniquecoords")
+    tmp = final + ".tmp"
+    shutil.move(final, tmp)  # simulate dying before the atomic rename
+    assert store.manifest(0, "uniquecoords") is None
+    assert not store.validate(spark, 0, "uniquecoords")
+
+
+def test_pipeline_revert(spark, store):
+    gt = georef_points(_points(spark))
+    pipe = Pipeline([Detrend(["a"], degree=1)])
+    out, caches = pipe.run(gt)
+    back = pipe.revert(out, caches)
+    orig = {r.row_id: r.a for r in gt.df.collect()}
+    rec = {r.row_id: r.a for r in back.df.collect()}
+    for k in orig:
+        assert rec[k] == pytest.approx(orig[k], abs=1e-8)
+
+
+def test_streaming_unique_coords(spark, tmp_path):
+    # run the streaming dedup over a file source and compare to batch
+    from geostatstransforms_jl_spark.streaming import streaming_unique_coords
+
+    src = tmp_path / "stream_src"
+    df = _points(spark)
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    agg = streaming_unique_coords(stream, value_col="a")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("uc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from uc_stream")
+    assert got.count() == 350
+    batch = df.groupBy("x", "y").agg(F.avg("a").alias("a"))
+    b = {(r.x, r.y): r.a for r in batch.collect()}
+    g = {(r.x, r.y): r.a for r in got.collect()}
+    assert b == pytest.approx(g)
