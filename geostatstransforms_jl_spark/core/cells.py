@@ -79,14 +79,16 @@ def pick_resolution(x0: float, y0: float, x1: float, y1: float, target_cell_edge
     return max(0, min(MAX_RES, res))
 
 
-def pick_resolution_by_count(n_rows: int, rows_per_cell: int = 64) -> int:
-    """Resolution such that E[rows per cell] ≈ rows_per_cell under uniformity.
+def pick_resolution_by_count(n_rows: int, rows_per_cell: int = 8) -> int:
+    """Resolution such that E[rows per cell] ≲ rows_per_cell under uniformity
+    (2^(2·res) cells ≥ n/rows_per_cell, rounded FINER).
 
-    2^(2*res) cells ≈ n/rows_per_cell.
-    """
+    Candidate volume of a ring-1 kNN pass is n_targets × 9 × rows_per_cell —
+    undersized res blows that up quadratically, while oversized res only
+    costs an extra (cheap) expansion round for the sparse stragglers."""
     if n_rows <= rows_per_cell:
         return 0
-    res = int(math.floor(math.log2(n_rows / rows_per_cell) / 2))
+    res = int(math.ceil(math.log2(n_rows / rows_per_cell) / 2))
     return max(0, min(MAX_RES, res))
 
 

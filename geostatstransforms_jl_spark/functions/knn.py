@@ -33,6 +33,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence, Tuple
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,10 +50,39 @@ def _dist_expr(tx, ty, sx, sy):
     return F.sqrt((tx - sx) * (tx - sx) + (ty - sy) * (ty - sy))
 
 
-def _union_bounds(a: DataFrame, ac, b: DataFrame, bc) -> Tuple[float, float, float, float]:
-    ax0, ay0, ax1, ay1 = C.bounds_of(a, *ac)
-    bx0, by0, bx1, by1 = C.bounds_of(b, *bc)
-    return min(ax0, bx0), min(ay0, by0), max(ax1, bx1), max(ay1, by1)
+def _union_bounds_and_counts(a: DataFrame, ac, b: DataFrame, bc):
+    """Bounds of both sides + row counts in ONE job (union-tagged agg)."""
+    u = a.select(
+        F.lit(0).alias("_side"), F.col(ac[0]).alias("_x"), F.col(ac[1]).alias("_y")
+    ).unionByName(
+        b.select(F.lit(1).alias("_side"), F.col(bc[0]).alias("_x"), F.col(bc[1]).alias("_y"))
+    )
+    rows = {
+        r["_side"]: r
+        for r in u.groupBy("_side")
+        .agg(
+            F.min("_x").alias("x0"),
+            F.min("_y").alias("y0"),
+            F.max("_x").alias("x1"),
+            F.max("_y").alias("y1"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    ra, rb = rows.get(0), rows.get(1)
+    n_a = int(ra["n"]) if ra else 0
+    n_b = int(rb["n"]) if rb else 0
+    xs0 = [r["x0"] for r in (ra, rb) if r]
+    ys0 = [r["y0"] for r in (ra, rb) if r]
+    xs1 = [r["x1"] for r in (ra, rb) if r]
+    ys1 = [r["y1"] for r in (ra, rb) if r]
+    x0, y0 = float(min(xs0)), float(min(ys0))
+    x1, y1 = float(max(xs1)), float(max(ys1))
+    if x1 <= x0:
+        x1 = x0 + 1.0
+    if y1 <= y0:
+        y1 = y0 + 1.0
+    return x0, y0, x1, y1, n_a, n_b
 
 
 def _hot_cells(sources_cells: DataFrame, threshold: int):
@@ -90,7 +120,7 @@ def radius_join(
     tx, ty = (f"t_{c}" for c in t_coords)
     sx, sy = (f"s_{c}" for c in s_coords)
 
-    x0, y0, x1, y1 = _union_bounds(t, (tx, ty), s, (sx, sy))
+    x0, y0, x1, y1, n_t, n_s = _union_bounds_and_counts(t, (tx, ty), s, (sx, sy))
     res = C.pick_resolution(x0, y0, x1, y1, radius)
     grid = C.CellGrid(x0, y0, x1, y1, res)
     k = grid.rings_needed(radius)
@@ -98,7 +128,9 @@ def radius_join(
     s_cells = C.with_cell(s, grid, x=sx, y=sy, out="_cell")
     t_cells = C.kring_exploded(t, grid, k, x=tx, y=ty, out="_cell")
 
-    joined = _salted_cell_join(t_cells, s_cells, salt_threshold)
+    # salting only pays when a single cell CAN exceed the threshold
+    thr = salt_threshold if (salt_threshold and n_s > salt_threshold) else None
+    joined = _salted_cell_join(t_cells, s_cells, thr)
     d = _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy))
     out = joined.withColumn("dist", d).filter(F.col("dist") <= F.lit(float(radius))).drop("_cell")
     if exclude_same_id:
@@ -138,6 +170,80 @@ def _salted_cell_join(t_cells: DataFrame, s_cells: DataFrame, salt_threshold: Op
     return t2.join(s2, ["_cell", "_salt"]).drop("_salt")
 
 
+def _broadcast_knn(
+    t: DataFrame,
+    s: DataFrame,
+    k: int,
+    tid: str,
+    sid: str,
+    tx: str,
+    ty: str,
+    sx: str,
+    sy: str,
+    exclude_same_id: bool,
+    max_radius,
+) -> DataFrame:
+    """Small-source fast path: the reference's in-memory KD-tree analogue.
+
+    Sources (≤ broadcast threshold) are collected once and shipped in the
+    UDF closure; each Arrow batch of targets computes exact kNN with one
+    numpy distance matrix + argpartition.  One narrow pass over the targets:
+    no shuffle, no window, no driver round-trips per round."""
+    import pandas as pd
+    from typing import Iterator
+
+    spdf = s.toPandas()
+    S = spdf[[sx, sy]].to_numpy(dtype=float)
+    s_ids = spdf[sid].to_numpy()
+    # deterministic tie-break pre-sort: stable argpartition order by id later
+    s_cols = {c: spdf[c].to_numpy() for c in spdf.columns}
+    n_s = len(spdf)
+    kk = min(k, n_s)
+
+    t_fields = t.schema.fields
+    s_fields = s.schema.fields
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            T = pdf[[tx, ty]].to_numpy(dtype=float)
+            d = np.sqrt(
+                ((T[:, None, :] - S[None, :, :]) ** 2).sum(-1)
+            )  # (n_t, n_s)
+            if exclude_same_id:
+                same = pdf[tid].to_numpy()[:, None] == s_ids[None, :]
+                d = np.where(same, np.inf, d)
+            if max_radius is not None:
+                d = np.where(d <= float(max_radius), d, np.inf)
+            # top-k with (dist, s_id) tie-break via lexsort keys
+            order = np.lexsort((np.broadcast_to(s_ids, d.shape), d), axis=1)[:, :kk]
+            n_t = len(pdf)
+            dd = np.take_along_axis(d, order, axis=1)  # (n_t, kk) sorted
+            valid = np.isfinite(dd)
+            counts = valid.sum(axis=1)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            rep_idx = np.repeat(np.arange(n_t), counts)
+            flat_sel = order[valid]
+            block = {c: pdf[c].to_numpy()[rep_idx] for c in pdf.columns}
+            for c in s_cols:
+                block[c] = s_cols[c][flat_sel]
+            block["dist"] = dd[valid]
+            starts = np.cumsum(counts) - counts
+            block["rank"] = (np.arange(total) - np.repeat(starts, counts) + 1).astype(np.int32)
+            yield pd.DataFrame(block)
+
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in t_fields)
+        + ", "
+        + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in s_fields)
+        + ", dist double, rank int"
+    )
+    return t.mapInPandas(run, schema)
+
+
 def knn_join(
     targets: DataFrame,
     sources: DataFrame,
@@ -154,6 +260,7 @@ def knn_join(
     rows_per_cell: Optional[int] = None,
     salt_threshold: Optional[int] = 200_000,
     max_rounds: int = 8,
+    broadcast_threshold: int = 20_000,
 ) -> DataFrame:
     """Exact k-nearest-neighbors join (≤ k when fewer sources qualify).
 
@@ -161,6 +268,11 @@ def knn_join(
     With ``max_radius`` it is the reference's `KBallSearch` (k nearest within
     a ball, src/interpneighbors.jl:72-84); targets with no qualifying source
     are absent from the output (consumers left-join to keep them).
+
+    Physical strategy selection (the engine's §3.1-step-3 dispatch):
+    * sources ≤ broadcast_threshold → `_broadcast_knn` (one narrow pass);
+    * otherwise → cell-ring candidate join with driver-looped exact
+      ring expansion and optional hot-cell salting.
     """
     t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
     s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
@@ -168,35 +280,37 @@ def knn_join(
     sx, sy = (f"s_{c}" for c in s_coords)
     tid, sid = f"t_{t_id}", f"s_{s_id}"
 
-    n_sources = sources.count()
+    x0, y0, x1, y1, n_targets, n_sources = _union_bounds_and_counts(t, (tx, ty), s, (sx, sy))
     if n_sources == 0:
         raise ValueError("knn_join: empty source side")
-    x0, y0, x1, y1 = _union_bounds(t, (tx, ty), s, (sx, sy))
-    res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(32, 4 * k))
+    if n_sources <= broadcast_threshold:
+        return _broadcast_knn(
+            t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
+        )
+    res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k))
     if max_radius is not None:
         # never finer than the ball: keeps the ring count for the radius bound small
         res = min(res, C.pick_resolution(x0, y0, x1, y1, max_radius))
     grid = C.CellGrid(x0, y0, x1, y1, res)
     diag = math.hypot(x1 - x0, y1 - y0)
+    thr = salt_threshold if (salt_threshold and n_sources > salt_threshold) else None
 
     s_cells = C.with_cell(s, grid, x=sx, y=sy, out="_cell").persist()
     w = Window.partitionBy(tid).orderBy(F.col("dist"), F.col(sid))
 
-    remaining = t.persist()
+    remaining = t
+    n_remaining = n_targets
     ring = 1
     pieces = []
-    persisted = [s_cells, remaining]
     for _ in range(max_rounds):
         t_cells = C.kring_exploded(remaining, grid, ring, x=tx, y=ty, out="_cell")
-        cand = _salted_cell_join(t_cells, s_cells, salt_threshold)
+        cand = _salted_cell_join(t_cells, s_cells, thr)
         cand = cand.withColumn("dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy)))
         if max_radius is not None:
             cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
         if exclude_same_id:
             cand = cand.filter(F.col(tid) != F.col(sid))
         ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("_cell")
-        ranked = ranked.persist()
-        persisted.append(ranked)
 
         guaranteed = ring * grid.min_cell_edge
         covers_all = guaranteed >= diag or (max_radius is not None and guaranteed >= max_radius)
@@ -205,18 +319,22 @@ def knn_join(
             remaining = None
             break
 
+        ranked = ranked.persist()
         stats = ranked.groupBy(tid).agg(F.max("dist").alias("_kth"), F.count("*").alias("_cnt"))
-        settled_ids = stats.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(guaranteed))).select(tid)
+        settled_ids = stats.filter(
+            (F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(guaranteed))
+        ).select(tid).persist()
+        # the round's ONLY driver action: how many targets settled
+        n_settled = settled_ids.count()
         pieces.append(ranked.join(settled_ids, tid, "left_semi"))
-        settled_alias = settled_ids.select(F.col(tid).alias("_settled_id"))
-        nxt = remaining.join(
-            settled_alias, remaining[tid] == settled_alias["_settled_id"], "left_anti"
-        ).persist()
-        persisted.append(nxt)
-        if nxt.isEmpty():
+        n_remaining -= n_settled
+        if n_remaining <= 0:
             remaining = None
             break
-        remaining = nxt
+        settled_alias = settled_ids.select(F.col(tid).alias("_settled_id"))
+        remaining = remaining.join(
+            settled_alias, remaining[tid] == settled_alias["_settled_id"], "left_anti"
+        )
         ring *= 2
     else:
         # exhausted rounds: final full-coverage pass (ring spans the grid)
