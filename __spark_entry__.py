@@ -150,6 +150,82 @@ def q_droplocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("row_id").alias("supp"), "bal")
 
 
+def q_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel gradient over the complete 32×32 upscaled lineitem grid —
+    SQL-expressible on a complete grid via lead/lag windows, so it gets a
+    full DuckDB oracle."""
+    from geostatstransforms_jl_spark.operators.gradient import gradient_long_df
+
+    g = q_upscale(spark, sf_dir).select("i", "j", "q")  # 32×32, rounded q
+    out = gradient_long_df(g, "q", 32, 32, 1.0, 1.0)
+    return out.select(
+        "i", "j", F.round("q_x", 6).alias("q_x"), F.round("q_y", 6).alias("q_y")
+    )
+
+
+def q_rasterize_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize supplier points onto a 32×32 grid (ceil cell rule, default
+    mean agg, NULL rows for uncovered cells)."""
+    from geostatstransforms_jl_spark.core.grid import GridMeta
+    from geostatstransforms_jl_spark.operators.rasterize import rasterize_df
+
+    pts = _supplier_points(spark, sf_dir)
+    geoms = pts.select(
+        "row_id",
+        F.lit("point").alias("kind"),
+        F.array(F.array(F.struct(F.col("x"), F.col("y")))).alias("rings"),
+        "bal",
+    )
+    meta = GridMeta(32, 32, 0.0, 0.0, 97.0 / 32, 89.0 / 32)
+    out, mask = rasterize_df(geoms, meta)
+    return out.select("i", "j", F.round("bal", 6).alias("bal"))
+
+
+def q_interp_neighbors_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterpolateNeighbors with IDW over the 5 nearest samples."""
+    from geostatstransforms_jl_spark.core.geotable import georef_points
+    from geostatstransforms_jl_spark.functions.models import IDW
+    from geostatstransforms_jl_spark.operators import InterpolateNeighbors
+
+    src = _customer_points(spark, sf_dir).join(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("row_id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ),
+        "row_id",
+    )
+    tgt = _supplier_points(spark, sf_dir).select("row_id", "x", "y")
+    out, _ = InterpolateNeighbors(tgt, model=IDW(), maxneighbors=5).apply(georef_points(src))
+    return out.df.select(F.col("row_id").alias("supp"), F.round("bal", 6).alias("bal"))
+
+
+def q_slic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.clustering import slic_df
+
+    pts = _customer_points(spark, sf_dir).join(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("row_id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ),
+        "row_id",
+    )
+    return slic_df(pts, k=8, m=1.0).select("row_id", "label")
+
+
+def q_ghc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.clustering import ghc_df
+
+    pts = _supplier_points(spark, sf_dir)
+    return ghc_df(pts, k=5, lam=10.0, nmax=500).select("row_id", "label")
+
+
+def q_gsc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatstransforms_jl_spark.clustering import gsc_df
+
+    pts = _supplier_points(spark, sf_dir)
+    return gsc_df(pts, k=4, m=2.0, nmax=500).select("row_id", "label")
+
+
 # ------------------------------------------------- text / ANN / image ops
 
 
@@ -259,6 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_aggregate": q_knn_aggregate,
         "idw_interpolate": q_idw_interpolate,
         "droplocal_outliers": q_droplocal,
+        "gradient": q_gradient,
+        "rasterize_points": q_rasterize_points,
+        "interp_neighbors_idw": q_interp_neighbors_idw,
+        "slic_clusters": q_slic,
+        "ghc_clusters": q_ghc,
+        "gsc_clusters": q_gsc,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -427,6 +509,78 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.row_id NOT IN (
               SELECT center FROM stats WHERE v IS NOT NULL AND (v < l OR v > h)
             )
+        """,
+        "gradient": f"""
+            WITH g0 AS ({_LI_GRID}),
+            up AS (
+              SELECT (i // 2)::INT AS i, (j // 2)::INT AS j, ROUND(AVG(q), 6) AS q
+              FROM g0 GROUP BY 1, 2
+            ),
+            d AS (
+              SELECT i, j,
+                (COALESCE(LEAD(q) OVER wI, q) - COALESCE(LAG(q) OVER wI, q)) / 2.0 AS di,
+                (COALESCE(LEAD(q) OVER wJ, q) - COALESCE(LAG(q) OVER wJ, q)) / 2.0 AS dj
+              FROM up
+              WINDOW wI AS (PARTITION BY j ORDER BY i), wJ AS (PARTITION BY i ORDER BY j)
+            ),
+            g AS (
+              SELECT i, j,
+                (COALESCE(LAG(di) OVER wJ, di) + 2 * di + COALESCE(LEAD(di) OVER wJ, di)) / 4.0 AS gx,
+                (COALESCE(LAG(dj) OVER wI, dj) + 2 * dj + COALESCE(LEAD(dj) OVER wI, dj)) / 4.0 AS gy
+              FROM d
+              WINDOW wI AS (PARTITION BY j ORDER BY i), wJ AS (PARTITION BY i ORDER BY j)
+            )
+            SELECT i, j, ROUND(gx, 6) AS q_x, ROUND(gy, 6) AS q_y FROM g
+        """,
+        "rasterize_points": f"""
+            WITH p AS ({_SUPP_PTS}),
+            cells AS (
+              SELECT (least(greatest(ceil(x / (97.0 / 32)), 1), 32) - 1)::INT AS i,
+                     (least(greatest(ceil(y / (89.0 / 32)), 1), 32) - 1)::INT AS j,
+                     bal
+              FROM p
+            ),
+            agg AS (SELECT i, j, ROUND(AVG(bal), 6) AS bal FROM cells GROUP BY 1, 2),
+            grid AS (
+              SELECT a.i::INT AS i, b.j::INT AS j
+              FROM generate_series(0, 31) a(i), generate_series(0, 31) b(j)
+            )
+            SELECT grid.i, grid.j, agg.bal
+            FROM grid LEFT JOIN agg ON grid.i = agg.i AND grid.j = agg.j
+        """,
+        "interp_neighbors_idw": f"""
+            WITH s AS (
+              SELECT c_custkey::BIGINT AS sid,
+                     (c_custkey % 97)::DOUBLE AS x,
+                     (c_custkey % 89)::DOUBLE AS y,
+                     c_acctbal::DOUBLE AS bal
+              FROM customer
+            ), t AS ({_SUPP_PTS}),
+            ranked AS (
+              SELECT t.row_id AS supp, s.bal, s.sid,
+                     sqrt((t.x - s.x) * (t.x - s.x) + (t.y - s.y) * (t.y - s.y)) AS dist,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY t.row_id
+                       ORDER BY sqrt((t.x - s.x) * (t.x - s.x) + (t.y - s.y) * (t.y - s.y)), s.sid
+                     ) AS rn
+              FROM t CROSS JOIN s
+            ),
+            top AS (SELECT * FROM ranked WHERE rn <= 5),
+            agg AS (
+              SELECT supp,
+                     SUM(CASE WHEN dist >= 1e-12 THEN bal / dist END) AS num,
+                     SUM(CASE WHEN dist >= 1e-12 THEN 1.0 / dist END) AS den
+              FROM top GROUP BY supp
+            ),
+            hit AS (
+              SELECT supp, bal FROM (
+                SELECT supp, bal,
+                       ROW_NUMBER() OVER (PARTITION BY supp ORDER BY dist, sid) AS rn2
+                FROM top WHERE dist < 1e-12
+              ) WHERE rn2 = 1
+            )
+            SELECT a.supp, ROUND(COALESCE(h.bal, a.num / a.den), 6) AS bal
+            FROM agg a LEFT JOIN hit h USING (supp)
         """,
         "dedup_exact": r"""
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

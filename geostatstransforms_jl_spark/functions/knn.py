@@ -300,9 +300,22 @@ def knn_join(
 
     remaining = t
     n_remaining = n_targets
-    ring = 1
+    # geometric ring schedule (×4): every round is one driver action, and the
+    # candidate volume per round stays bounded because each round settles the
+    # targets whose k-th neighbor is provably inside the searched ring —
+    # by the time rings get large, few targets remain to explode them
+    full_ring = int(math.ceil(diag / grid.min_cell_edge)) + 1
+    schedule = []
+    r = 1
+    while r < full_ring and len(schedule) < max_rounds - 1:
+        schedule.append(r)
+        r *= 4
+    schedule.append(full_ring)
+    if max_radius is not None:
+        cap = grid.rings_needed(max_radius)
+        schedule = sorted({min(rr, cap) for rr in schedule})
     pieces = []
-    for _ in range(max_rounds):
+    for ring in schedule:
         t_cells = C.kring_exploded(remaining, grid, ring, x=tx, y=ty, out="_cell")
         cand = _salted_cell_join(t_cells, s_cells, thr)
         cand = cand.withColumn("dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy)))
@@ -310,7 +323,28 @@ def knn_join(
             cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
         if exclude_same_id:
             cand = cand.filter(F.col(tid) != F.col(sid))
-        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("_cell")
+        if k == 1:
+            # 1-NN: hash aggregate with partial (map-side) combine instead of
+            # a window sort — min(struct(dist, s_id, payload)) per target
+            other = [c for c in cand.columns if c not in (tid, "dist", sid, "_cell")]
+            packed = cand.groupBy(tid).agg(
+                F.min(
+                    F.struct(F.col("dist"), F.col(sid), *[F.col(c) for c in other])
+                ).alias("_b")
+            )
+            ranked = packed.select(
+                tid,
+                F.col(f"_b.{sid}").alias(sid),
+                F.col("_b.dist").alias("dist"),
+                *[F.col(f"_b.{c}").alias(c) for c in other],
+                F.lit(1).alias("rank"),
+            )
+        else:
+            ranked = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .drop("_cell")
+            )
 
         guaranteed = ring * grid.min_cell_edge
         covers_all = guaranteed >= diag or (max_radius is not None and guaranteed >= max_radius)
@@ -335,18 +369,6 @@ def knn_join(
         remaining = remaining.join(
             settled_alias, remaining[tid] == settled_alias["_settled_id"], "left_anti"
         )
-        ring *= 2
-    else:
-        # exhausted rounds: final full-coverage pass (ring spans the grid)
-        t_cells = C.kring_exploded(remaining, grid, grid.n, x=tx, y=ty, out="_cell")
-        cand = t_cells.join(s_cells, "_cell").withColumn(
-            "dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy))
-        )
-        if max_radius is not None:
-            cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
-        if exclude_same_id:
-            cand = cand.filter(F.col(tid) != F.col(sid))
-        pieces.append(cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("_cell"))
 
     out = pieces[0]
     for p in pieces[1:]:

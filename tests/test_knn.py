@@ -1,0 +1,76 @@
+"""kNN/radius join service tests: physical-path equivalence (broadcast vs
+cell-ring), exactness vs numpy, skew handling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.functions.knn import knn_join, radius_join
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = np.random.default_rng(17)
+    n = 3000
+    xy = rng.random((n, 2)) * 100
+    # a deliberately hot region: 30% of points in a tiny box (skew)
+    hot = rng.random((n // 3, 2)) * 0.5
+    xy[: n // 3] = hot
+    rows = [(i, float(x), float(y), float(i % 13)) for i, (x, y) in enumerate(xy)]
+    return spark.createDataFrame(rows, "row_id long, x double, y double, v double").persist()
+
+
+def _pairs(df):
+    return {(r["t_row_id"], r["rank"]): (r["s_row_id"], round(r["dist"], 9)) for r in df.collect()}
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_paths_agree(spark, pts, k):
+    bc = knn_join(pts, pts, k=k, exclude_same_id=True)  # broadcast path (3000 < 20k)
+    cell = knn_join(pts, pts, k=k, exclude_same_id=True, broadcast_threshold=0)
+    a, b = _pairs(bc), _pairs(cell)
+    assert a == b
+
+
+def test_knn_exact_vs_numpy(spark, pts):
+    out = knn_join(pts, pts, k=2, exclude_same_id=True, broadcast_threshold=0)
+    got = _pairs(out)
+    pdf = pts.orderBy("row_id").toPandas()
+    X = pdf[["x", "y"]].to_numpy()
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(D, np.inf)
+    for t in range(0, 3000, 157):  # sample of targets
+        order = np.lexsort((np.arange(len(X)), D[t]))[:2]
+        for rank, s in enumerate(order, start=1):
+            sid, dist = got[(t, rank)]
+            assert sid == s
+            assert dist == pytest.approx(D[t, s], abs=1e-9)
+
+
+def test_knn_with_radius_limit(spark, pts):
+    out = knn_join(pts, pts, k=5, max_radius=1.0, exclude_same_id=True, broadcast_threshold=0)
+    rows = out.collect()
+    assert all(r["dist"] <= 1.0 for r in rows)
+    # hot-box points have many close neighbors; far-field points may have none
+    t_ids = {r["t_row_id"] for r in rows}
+    assert len(t_ids) > 900
+
+
+def test_radius_join_exact(spark, pts):
+    out = radius_join(pts, pts, radius=0.7, exclude_same_id=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["t_row_id"], set()).add(r["s_row_id"])
+    pdf = pts.orderBy("row_id").toPandas()
+    X = pdf[["x", "y"]].to_numpy()
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(D, np.inf)
+    for t in range(0, 3000, 211):
+        expect = set(np.flatnonzero(D[t] <= 0.7).tolist())
+        assert got.get(t, set()) == expect
+
+
+def test_salting_preserves_results(spark, pts):
+    plain = knn_join(pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=None)
+    salted = knn_join(pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=50)
+    assert _pairs(plain) == _pairs(salted)
