@@ -320,6 +320,118 @@ def q_image_potrace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "m", F.size("polys").alias("n_polys"))
 
 
+def q_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-1 polynomial Detrend of supplier balances (reference
+    src/detrend.jl:33-93): two-pass normal-equation fit, vectorized subtract."""
+    from geostatstransforms_jl_spark.operators.detrend import detrend_df
+
+    pts = _supplier_points(spark, sf_dir)
+    out, _ = detrend_df(pts, ["bal"], degree=1)
+    return out.select(F.col("row_id").alias("supp"), F.round("bal", 5).alias("bal"))
+
+
+def q_nn_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolate with the NN model (reference default, src/interpolate.jl:44):
+    each target takes the value of its nearest sample."""
+    from geostatstransforms_jl_spark.core.geotable import georef_points
+    from geostatstransforms_jl_spark.functions.models import NN
+    from geostatstransforms_jl_spark.operators import Interpolate
+
+    src = _customer_points(spark, sf_dir).join(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("row_id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ),
+        "row_id",
+    )
+    tgt = _supplier_points(spark, sf_dir).select("row_id", "x", "y")
+    out, _ = Interpolate(tgt, model=NN()).apply(georef_points(src))
+    return out.df.select(F.col("row_id").alias("supp"), F.round("bal", 6).alias("bal"))
+
+
+def q_kriging_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterpolateNeighbors with ordinary kriging over the 8 nearest samples
+    (src/interpneighbors.jl:47-87 + GeoStatsModels Kriging).  Per-target small
+    solve in an Arrow-grouped pandas UDF — not SQL-expressible (rows-only)."""
+    from geostatstransforms_jl_spark.core.geotable import georef_points
+    from geostatstransforms_jl_spark.functions.models import Kriging
+    from geostatstransforms_jl_spark.operators import InterpolateNeighbors
+
+    src = _customer_points(spark, sf_dir).join(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("row_id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ),
+        "row_id",
+    )
+    tgt = _supplier_points(spark, sf_dir).select("row_id", "x", "y")
+    model = Kriging(variogram="spherical", range_=30.0, sill=1.0, nugget=0.01)
+    out, _ = InterpolateNeighbors(tgt, model=model, maxneighbors=8).apply(georef_points(src))
+    return out.df.select(F.col("row_id").alias("supp"), F.round("bal", 4).alias("bal"))
+
+
+def q_modefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ModeFilter on the 32×32 upscaled categorical grid (src/modefilter.jl:16-81):
+    seeded sequential sweep per tile — sequential feedback, rows-only check."""
+    from geostatstransforms_jl_spark.operators.seqfilters import mode_filter_df
+
+    g = q_upscale(spark, sf_dir).select("i", "j", "flag")
+    return mode_filter_df(g, "flag", maxneighbors=8, seed=42).select("i", "j", "flag")
+
+
+def q_maxposterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxPosterior indicator-kriging MAP smoothing (src/maxposterior.jl:34-147);
+    neighbor reads use the immutable one-hot snapshot so it parallelizes —
+    the small cokriging solves are not SQL-expressible (rows-only)."""
+    from geostatstransforms_jl_spark.operators.seqfilters import max_posterior_df
+
+    g = q_upscale(spark, sf_dir).select("i", "j", "flag")
+    return max_posterior_df(g, "flag", variogram="gaussian", range_=2.0, maxneighbors=8).select(
+        "i", "j", "flag"
+    )
+
+
+def q_quenching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated quenching of the categorical grid (src/quenching.jl:34-150),
+    coarsened to 16×16 so the transiogram objective stays cheap; inherently
+    sequential per tile (rows-only check)."""
+    from geostatstransforms_jl_spark.operators.seqfilters import quenching_df
+
+    g = _lineitem_grid(spark, sf_dir)
+    g16 = (
+        g.withColumn("i", (F.col("i") / 4).cast("int"))
+        .withColumn("j", (F.col("j") / 4).cast("int"))
+        .groupBy("i", "j")
+        .agg(F.min_by("flag", "row_id").alias("flag"))
+    )
+    return quenching_df(g16, "flag", variogram="spherical", range_=2.0, maxiter=2).select(
+        "i", "j", "flag"
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.45, a<b) — the
+    training-pipeline near-dup primitive over the embeddings table."""
+    from geostatstransforms_jl_spark.functions.ann import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = cosine_pairs(emb, threshold=0.45)
+    return out.select("a", "b", F.round("cosine", 5).alias("cosine"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (coarse k-means cells + probe) — the
+    scale path next to brute-force cosine; approximate, rows-only check."""
+    from geostatstransforms_jl_spark.functions.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 16)
+    out = ivf_topk(q, emb, k=5, n_centroids=8, nprobe=3)
+    return out.select("q_id", "c_id", F.round("cosine", 5).alias("cosine"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -351,6 +463,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_gradient": q_image_gradient,
         "image_potrace": q_image_potrace,
+        "detrend": q_detrend,
+        "nn_interpolate": q_nn_interpolate,
+        "kriging_neighbors": q_kriging_neighbors,
+        "modefilter": q_modefilter,
+        "maxposterior": q_maxposterior,
+        "quenching": q_quenching,
+        "embed_neardup": q_embed_neardup,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -642,6 +762,55 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs
             )
             SELECT q_id, c_id, ROUND(cosine, 5) AS cosine FROM ranked WHERE rn <= 5
+        """,
+        "detrend": f"""
+            WITH p AS ({_SUPP_PTS}),
+            m AS (
+              SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy,
+                     SUM(bal) AS sz, SUM(x*bal) AS sxz, SUM(y*bal) AS syz
+              FROM p
+            ),
+            coef AS (
+              -- Cramer's rule on the 3×3 normal equations for z ~ 1 + x + y
+              SELECT
+                (n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy)) AS det,
+                (sz*(sxx*syy - sxy*sxy) - sx*(sxz*syy - sxy*syz) + sy*(sxz*sxy - sxx*syz)) AS d0,
+                (n*(sxz*syy - sxy*syz) - sz*(sx*syy - sxy*sy) + sy*(sx*syz - sxz*sy)) AS d1,
+                (n*(sxx*syz - sxz*sxy) - sx*(sx*syz - sxz*sy) + sz*(sx*sxy - sxx*sy)) AS d2
+              FROM m
+            )
+            SELECT p.row_id AS supp,
+                   ROUND(p.bal - (c.d0/c.det + c.d1/c.det * p.x + c.d2/c.det * p.y), 5) AS bal
+            FROM p, coef c
+        """,
+        "nn_interpolate": f"""
+            WITH s AS (
+              SELECT c_custkey::BIGINT AS sid,
+                     (c_custkey % 97)::DOUBLE AS x,
+                     (c_custkey % 89)::DOUBLE AS y,
+                     c_acctbal::DOUBLE AS bal
+              FROM customer
+            ), t AS ({_SUPP_PTS}),
+            ranked AS (
+              SELECT t.row_id AS supp, s.bal,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY t.row_id
+                       ORDER BY sqrt((t.x - s.x)*(t.x - s.x) + (t.y - s.y)*(t.y - s.y)), s.sid
+                     ) AS rn
+              FROM t CROSS JOIN s
+            )
+            SELECT supp, ROUND(bal, 6) AS bal FROM ranked WHERE rn = 1
+        """,
+        "embed_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5)
+                     AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
         """,
     }
 

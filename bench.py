@@ -89,11 +89,14 @@ def image_workload(cpus: str, n_images: int) -> dict:
         app=f"gst-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
     spark.range(10).count()  # JVM warm
+    stage_t = {}
     t0 = time.perf_counter()
     # synthesis counted once: persisted, like a real pipeline's ingested table
     imgs = synthetic_images(spark, n_images, partitions=4 * int(cpus)).persist()
+    t = time.perf_counter()
     # tile-assignment: decode + stencil per tile, no pixel explosion
     n_g = gradient_packed(imgs).count()
+    stage_t["synth+gradient"] = round(time.perf_counter() - t, 2)
     # georeference each tile from its phash (pure expressions)
     pts = imgs.select(
         F.col("image_id"),
@@ -103,18 +106,23 @@ def image_workload(cpus: str, n_images: int) -> dict:
         F.col("phash"),
     ).persist()
     # spatial self 1-NN join on tile anchors — force the distributed cell path
+    t = time.perf_counter()
     nn = knn_join(
         pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=20_000
     )
     n_nn = nn.count()
+    stage_t["knn"] = round(time.perf_counter() - t, 2)
     # exact-coordinate dedup (Zipfian phash low bits → hot keys)
+    t = time.perf_counter()
     n_uc = unique_coords_df(pts.drop("image_id"), ("x", "y")).count()
+    stage_t["unique"] = round(time.perf_counter() - t, 2)
     sec = time.perf_counter() - t0
     spark.stop()
     return {
         "cpus": int(cpus),
         "images": n_images,
         "sec": round(sec, 2),
+        "stages": stage_t,
         "rows": {"gradient": n_g, "knn": n_nn, "unique": n_uc},
         "images_per_sec": round(n_images / sec, 1),
     }
@@ -163,6 +171,7 @@ def run_scaling(low: str = "2", high: str = "8") -> dict:
         # 16g: enough to avoid spills at 32 concurrent tasks, small enough to
         # avoid the G1 large-heap pause pathology we measured at 48g
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                   SPARK_GRAFT_BENCH_IMAGES=str(n_images),
                    SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         r = subprocess.run(
             [sys.executable, __file__, "--image-workload"],

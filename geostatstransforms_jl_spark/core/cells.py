@@ -110,6 +110,31 @@ def with_cell(df: DataFrame, grid: CellGrid, x: str = "x", y: str = "y", out: st
     return df.withColumn(out, grid.cell(F.col(x), F.col(y)))
 
 
+def kring_exploded_var(
+    df: DataFrame,
+    grid: CellGrid,
+    k_col: str,
+    x: str = "x",
+    y: str = "y",
+    out: str = "cell",
+) -> DataFrame:
+    """Per-row kRing: each row explodes into the (2·k_col+1)² cells of its
+    OWN ring radius (an int column).  Used by the kNN verify pass, where each
+    target only needs the ring covering its own candidate distance — total
+    explode volume is Σ(2kᵢ+1)², not n·(2·max k)².  Pure sequence/explode."""
+    n = grid.n
+    d = df.withColumn("_ix", grid.ix(F.col(x))).withColumn("_iy", grid.iy(F.col(y)))
+    kc = F.col(k_col).cast("long")
+    d = d.withColumn("_dx", F.explode(F.sequence(-kc, kc)))
+    d = d.withColumn("_dy", F.explode(F.sequence(-kc, kc)))
+    d = d.withColumn("_jx", F.col("_ix") + F.col("_dx")).withColumn("_jy", F.col("_iy") + F.col("_dy"))
+    d = d.filter(
+        (F.col("_jx") >= 0) & (F.col("_jx") < n) & (F.col("_jy") >= 0) & (F.col("_jy") < n)
+    )
+    d = d.withColumn(out, F.shiftleft(F.col("_jx"), 30) + F.col("_jy"))
+    return d.drop("_ix", "_iy", "_dx", "_dy", "_jx", "_jy")
+
+
 def kring_exploded(
     df: DataFrame, grid: CellGrid, k: int, x: str = "x", y: str = "y", out: str = "cell"
 ) -> DataFrame:

@@ -63,6 +63,32 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) for every unordered pair with cosine ≥ threshold —
+    the embedding-cosine near-duplicate primitive.  Exact O(n²/2) self-join
+    with dot products JVM-side (`zip_with`/`aggregate`); pair space halved by
+    the a<b predicate so no post-hoc dedup.  At scale, gate the candidate set
+    with `with_lsh_buckets` first and feed the bucket-joined pairs here."""
+    lhs = df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("av")
+    ).withColumn("an", _norm_col("av"))
+    rhs = df.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bv")
+    ).withColumn("bn", _norm_col("bv"))
+    cos = _dot("av", "bv") / (F.col("an") * F.col("bn"))
+    return (
+        lhs.join(rhs, F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("a", "b", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))

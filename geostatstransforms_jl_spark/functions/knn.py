@@ -6,23 +6,37 @@ used by src/aggregate.jl:96-99, src/transfer.jl:80-83,
 src/interpneighbors.jl:72-84, src/droplocallowhigh.jl:49-55,
 src/clustering/slic.jl:74,105,169).
 
-Physical strategy (scale-first):
+Physical strategy (scale-first, skew-first):
 
-1.  Bucket sources into quad-cells sized from the query (`core.cells`).  The
-    cell assignment is a codegen'd expression; the subsequent join is a plain
-    shuffled (or broadcast, when one side is small — Catalyst/AQE decides)
-    **equi-join on the cell key**, which replaces the theta (distance) join.
-2.  Targets explode a kRing of neighbor cells.  For radius queries the ring
-    count is exact (`ceil(r / cell_edge)`); for kNN it starts at 1 and the
-    driver doubles it only for targets whose k-th neighbor is not yet
-    *provably* within the searched ring (distance ≤ ring × min_cell_edge) —
-    an exact algorithm, typically one round at matched densities.
-3.  Ranking is `row_number() OVER (PARTITION BY target ORDER BY dist, s_id)`
-    — deterministic tie-break on the source row id.
-4.  Skew: cells whose source count exceeds `salt_threshold` are split into
-    shards; targets touching a hot cell fan out over the shards (salted
-    equi-join).  The hot-cell set is collected from a cheap cell histogram
-    and broadcast.  AQE's skew-join splitting also applies on top.
+1.  **Occupancy-adaptive resolution.**  One histogram pass over the sources
+    evaluates max cell occupancy at every candidate resolution at once and
+    picks the coarsest whose densest cell is bounded (`_adaptive_cell_grid`)
+    — a global average-density resolution melts down under spatial skew
+    (one dense cell ⇒ O(m²) pairs in one task).  Mass on exactly coincident
+    coordinates that no grid can split is compressed exactly: only the k+1
+    smallest source ids per coordinate can ever rank in a top-k.
+2.  **Level loop, each level exact.**  Remaining targets ring-1 join the
+    sources keyed at the level's resolution (cell key is pure arithmetic;
+    the assignment and ring explode are codegen'd expressions).  A target is
+    (a) PROVEN when its k-th candidate lies within one cell edge — nothing
+    outside the ring can be nearer; else (b) VERIFIED by a second join whose
+    per-target ring covers its own candidate ball (`kring_exploded_var` —
+    total explode volume is Σ(2kᵢ+1)², small because the ball fits in the
+    3×3 block); else (c) — fewer than k ring-1 candidates — falls to the
+    next, ×8-coarser level.  Dense regions resolve at fine levels with
+    bounded candidate volume; sparse fringes a level or two later; one
+    driver action (a count) per level, ~2 levels on realistic data.
+3.  **Bounded streaming scan for the tail.**  A small remainder (or a level
+    ladder about to degenerate into near-all-pairs cells) finishes with
+    `_bcast_targets_scan`: targets broadcast in the closure, every source
+    partition streams past them once keeping a running top-k (BLAS-form
+    squared distances, O(n) selection with exact tie-break) — no kRing, no
+    shuffle of sources beyond the final k·|T|·P-row rank.
+4.  Ranking everywhere is (dist, s_id) — `row_number` for k>1, a partial-
+    aggregating `min(struct(...))` for k=1 — deterministic tie-break.
+5.  Residual skew: cells above `salt_threshold` are split into shards;
+    targets touching a hot cell fan out over the shards (salted equi-join).
+    AQE skew-join splitting applies on top.
 
 Output columns: targets prefixed ``t_``, sources prefixed ``s_``, plus
 ``dist`` (and ``rank`` for kNN).
@@ -83,6 +97,67 @@ def _union_bounds_and_counts(a: DataFrame, ac, b: DataFrame, bc):
     if y1 <= y0:
         y1 = y0 + 1.0
     return x0, y0, x1, y1, n_a, n_b
+
+
+def _adaptive_cell_grid(
+    s_df: DataFrame,
+    sx: str,
+    sy: str,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    base_res: int,
+    cap: int,
+    span: int = None,
+):
+    """Pick the COARSEST resolution whose max cell occupancy ≤ cap.
+
+    A globally uniform resolution sized from the average density melts down
+    under spatial skew: a cell holding m sources costs O(m²) candidate pairs
+    for the targets ringing it, concentrated in one task.  Oversized
+    resolution only costs extra (cheap, geometric) expansion rounds for the
+    sparse stragglers — so the asymmetric-risk choice is to refine until the
+    DENSEST cell is bounded.
+
+    Cost: one groupBy over the sources (fine-res histogram) + one
+    explode/agg job evaluating occupancy maxima at all `span+1` candidate
+    resolutions at once — both on (key, count) pairs, never on payloads.
+
+    Returns (grid, overfull): `overfull` is True when even the finest
+    candidate resolution exceeds cap — i.e. mass sits on coincident
+    coordinates that no grid can split; the caller must compress those.
+    """
+    # evaluate candidate resolutions all the way to MAX_RES by default:
+    # a dense blob 10^-k the width of the extent needs ~3.3k extra levels,
+    # and an undersized span reintroduces the m² hot-cell blowup this
+    # function exists to prevent.  Cost only grows the histogram explode
+    # factor (histogram rows, never payload rows).
+    fine_res = min(C.MAX_RES, base_res + span) if span is not None else C.MAX_RES
+    fine_res = max(fine_res, base_res)
+    d_max = fine_res - base_res
+    grid_f = C.CellGrid(x0, y0, x1, y1, fine_res)
+    hist = s_df.groupBy(grid_f.cell(F.col(sx), F.col(sy)).alias("_c")).count()
+    ix = F.shiftrightunsigned("_c", 30)
+    iy = F.col("_c").bitwiseAND(F.lit((1 << 30) - 1))
+    # parent cell at (fine_res - d): drop d low bits of each axis.  The shift
+    # amount is a column, so use exact integer division by 2^d instead of the
+    # literal-only shiftrightunsigned.
+    pow2 = F.pow(F.lit(2.0), F.col("_d")).cast("long")
+    parent = F.shiftleft(F.floor(ix / pow2).cast("long"), 30) + F.floor(iy / pow2).cast("long")
+    occ = (
+        hist.select(F.explode(F.sequence(F.lit(0), F.lit(d_max))).alias("_d"), "_c", "count")
+        .groupBy("_d", parent.alias("_p"))
+        .agg(F.sum("count").alias("_n"))
+        .groupBy("_d")
+        .agg(F.max("_n").alias("_m"))
+        .collect()
+    )
+    max_at = {int(r["_d"]): int(r["_m"]) for r in occ}
+    for d in range(d_max, -1, -1):  # coarsest candidate first
+        if max_at.get(d, 0) <= cap:
+            return C.CellGrid(x0, y0, x1, y1, fine_res - d), False
+    return grid_f, True
 
 
 def _hot_cells(sources_cells: DataFrame, threshold: int):
@@ -170,6 +245,50 @@ def _salted_cell_join(t_cells: DataFrame, s_cells: DataFrame, salt_threshold: Op
     return t2.join(s2, ["_cell", "_salt"]).drop("_salt")
 
 
+def _topk_tiebreak(d: "np.ndarray", s_ids: "np.ndarray", kk: int) -> "np.ndarray":
+    """Indices (n_rows, kk) of the kk smallest entries per row of `d`,
+    ordered by (dist, s_id) — EXACT tie-break, but O(n) selection instead of
+    a full-row lexsort: argpartition by distance, lexsort only the kk
+    selected, then repair the (rare) rows where distance ties straddle the
+    selection boundary."""
+    n, m = d.shape
+    ids = np.broadcast_to(s_ids, d.shape)
+    if kk >= m:
+        return np.lexsort((ids, d), axis=1)
+    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(n)[:, None]
+    dsel = d[rows, part]
+    # exact order within the selection
+    inner = np.lexsort((ids[rows, part], dsel), axis=1)
+    order = part[rows, inner]
+    dsel = np.take_along_axis(d, order, axis=1)
+    kth = dsel[:, -1]
+    # rows where entries OUTSIDE the selection tie the kth distance: the
+    # partition picked arbitrary members of the tie group — redo those rows
+    # exactly (tie groups are tiny; np.isclose not needed, bit-equality is
+    # what the SQL tie-break sees too)
+    # kth == inf means every finite entry is already inside the selection
+    # (inf never outranks a finite distance), so only finite boundaries can
+    # have straddling ties
+    tie_rows = np.where(np.isfinite(kth) & ((d <= kth[:, None]).sum(axis=1) > kk))[0]
+    for r in tie_rows:
+        cand = np.where(d[r] <= kth[r])[0]
+        o = cand[np.lexsort((s_ids[cand], d[r, cand]))][:kk]
+        order[r] = o
+    return order
+
+
+def _sq_dists(T: "np.ndarray", S: "np.ndarray") -> "np.ndarray":
+    """Pairwise SQUARED euclidean distances via the BLAS form
+    |t|² + |s|² − 2·T·Sᵀ — one gemm instead of broadcast temporaries (the
+    naive (n,m,2) subtraction is memory-bound and ~10× slower).  Selection
+    happens on d² (monotone ⇒ identical ranks and ties); callers sqrt only
+    the selected values."""
+    d2 = (T * T).sum(1)[:, None] + (S * S).sum(1)[None, :] - 2.0 * (T @ S.T)
+    np.maximum(d2, 0.0, out=d2)
+    return d2
+
+
 def _broadcast_knn(
     t: DataFrame,
     s: DataFrame,
@@ -208,18 +327,16 @@ def _broadcast_knn(
             if pdf.empty:
                 continue
             T = pdf[[tx, ty]].to_numpy(dtype=float)
-            d = np.sqrt(
-                ((T[:, None, :] - S[None, :, :]) ** 2).sum(-1)
-            )  # (n_t, n_s)
+            d = _sq_dists(T, S)  # (n_t, n_s) squared
             if exclude_same_id:
                 same = pdf[tid].to_numpy()[:, None] == s_ids[None, :]
                 d = np.where(same, np.inf, d)
             if max_radius is not None:
-                d = np.where(d <= float(max_radius), d, np.inf)
-            # top-k with (dist, s_id) tie-break via lexsort keys
-            order = np.lexsort((np.broadcast_to(s_ids, d.shape), d), axis=1)[:, :kk]
+                d = np.where(d <= float(max_radius) ** 2, d, np.inf)
+            # top-k with exact (dist, s_id) tie-break, O(n_s) selection
+            order = _topk_tiebreak(d, s_ids, kk)
             n_t = len(pdf)
-            dd = np.take_along_axis(d, order, axis=1)  # (n_t, kk) sorted
+            dd = np.sqrt(np.take_along_axis(d, order, axis=1))  # (n_t, kk) sorted
             valid = np.isfinite(dd)
             counts = valid.sum(axis=1)
             total = int(counts.sum())
@@ -244,6 +361,109 @@ def _broadcast_knn(
     return t.mapInPandas(run, schema)
 
 
+def _bcast_targets_scan(
+    t_small: DataFrame,
+    s: DataFrame,
+    k: int,
+    tid: str,
+    sid: str,
+    tx: str,
+    ty: str,
+    sx: str,
+    sy: str,
+    exclude_same_id: bool,
+    max_radius,
+) -> DataFrame:
+    """Few-targets fast path (the transpose of `_broadcast_knn`): collect the
+    targets once, stream every SOURCE partition past them, keep a running
+    per-target top-k inside the partition (numpy, chunked so the distance
+    block stays bounded), emit ≤ n_t·k candidate rows per partition, then one
+    tiny hash-agg/window picks the global top-k.  No kRing explosion — this
+    is how sparse stragglers finish after the cell rounds settle the bulk."""
+    import pandas as pd
+    from typing import Iterator
+
+    tpdf = t_small.toPandas()
+    n_t = len(tpdf)
+    T = tpdf[[tx, ty]].to_numpy(dtype=float)
+    t_ids = tpdf[tid].to_numpy()
+    t_cols = {c: tpdf[c].to_numpy() for c in tpdf.columns}
+
+    t_fields = t_small.schema.fields
+    s_fields = s.schema.fields
+    CHUNK = 1 << 22  # ≤ ~32 MB distance block per (target-chunk × batch)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate per-partition candidates: keep k best (dist, s_id) per
+        # target across all batches of this partition
+        acc_d = [np.full((n_t, 0), np.inf)]
+        acc_sidx = [np.full((n_t, 0), -1, dtype=np.int64)]
+        src_rows = []
+        row_base = 0
+        kk = k
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            S = pdf[[sx, sy]].to_numpy(dtype=float)
+            s_ids = pdf[sid].to_numpy()
+            nb = len(pdf)
+            t_chunk = max(256, CHUNK // max(nb, 1))
+            d_parts = []
+            for lo in range(0, n_t, t_chunk):
+                hi = min(n_t, lo + t_chunk)
+                d = _sq_dists(T[lo:hi], S)  # squared
+                if exclude_same_id:
+                    d = np.where(t_ids[lo:hi, None] == s_ids[None, :], np.inf, d)
+                if max_radius is not None:
+                    d = np.where(d <= float(max_radius) ** 2, d, np.inf)
+                d_parts.append(d)
+            d_all = np.concatenate(d_parts, axis=0)  # (n_t, nb) squared
+            # batch-local top-k, then merge into the accumulator lazily
+            kk_b = min(kk, nb)
+            order = _topk_tiebreak(d_all, s_ids, kk_b)
+            acc_d.append(np.take_along_axis(d_all, order, axis=1))
+            acc_sidx.append(order + row_base)
+            src_rows.append(pdf.reset_index(drop=True))
+            row_base += nb
+
+        if not src_rows:
+            return
+        D = np.concatenate(acc_d, axis=1)
+        IDX = np.concatenate(acc_sidx, axis=1)
+        allsrc = pd.concat(src_rows, ignore_index=True)
+        s_ids_all = np.where(IDX >= 0, allsrc[sid].to_numpy()[IDX], np.iinfo(np.int64).max)
+        kk_f = min(kk, D.shape[1])
+        order = np.lexsort((s_ids_all, D), axis=1)[:, :kk_f]
+        dd = np.take_along_axis(D, order, axis=1)
+        sel = np.take_along_axis(IDX, order, axis=1)
+        valid = np.isfinite(dd)
+        counts = valid.sum(axis=1)
+        total = int(counts.sum())
+        if total == 0:
+            return
+        rep_idx = np.repeat(np.arange(n_t), counts)
+        flat_sel = sel[valid]
+        block = {c: t_cols[c][rep_idx] for c in t_cols}
+        for c in allsrc.columns:
+            block[c] = allsrc[c].to_numpy()[flat_sel]
+        block["dist"] = np.sqrt(dd[valid])  # accumulator held squared dists
+        yield pd.DataFrame(block)
+
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in t_fields)
+        + ", "
+        + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in s_fields)
+        + ", dist double"
+    )
+    partial = s.mapInPandas(run, schema)
+    w = Window.partitionBy(tid).orderBy(F.col("dist"), F.col(sid))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_join(
     targets: DataFrame,
     sources: DataFrame,
@@ -261,6 +481,7 @@ def knn_join(
     salt_threshold: Optional[int] = 200_000,
     max_rounds: int = 8,
     broadcast_threshold: int = 20_000,
+    finish_threshold: int = 2_000,
 ) -> DataFrame:
     """Exact k-nearest-neighbors join (≤ k when fewer sources qualify).
 
@@ -287,94 +508,159 @@ def knn_join(
         return _broadcast_knn(
             t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
         )
-    res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k))
-    if max_radius is not None:
-        # never finer than the ball: keeps the ring count for the radius bound small
-        res = min(res, C.pick_resolution(x0, y0, x1, y1, max_radius))
-    grid = C.CellGrid(x0, y0, x1, y1, res)
+    if n_targets <= finish_threshold:
+        # few targets, many sources (e.g. InterpolateNeighbors onto a small
+        # domain): one streaming scan beats building the cell index
+        return _bcast_targets_scan(
+            t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
+        )
+    base_res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k))
+    # skew guard: refine until the densest cell is bounded (see
+    # _adaptive_cell_grid).  cap bounds ring-1 candidates per target at
+    # 9·cap while staying coarse enough to settle most targets in round 1.
+    cap = max(16, 4 * k)
+    grid, overfull = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
+    if overfull:
+        # mass on coincident coordinates no grid can split.  Exact
+        # compression: among sources sharing one exact coordinate, only the
+        # k+1 smallest ids can ever rank in a top-k (ties break by id, and
+        # at most one of them is the target itself under exclude_same_id).
+        w_coin = Window.partitionBy(sx, sy).orderBy(sid)
+        s = (
+            s.withColumn("_rn", F.row_number().over(w_coin))
+            .filter(F.col("_rn") <= k + 1)
+            .drop("_rn")
+        )
+        # re-pick the grid on the COMPRESSED sources: the coincident pile no
+        # longer dominates the histogram, so the loop starts at a sane
+        # resolution instead of crawling down from MAX_RES level by level
+        grid, _ = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
     diag = math.hypot(x1 - x0, y1 - y0)
     thr = salt_threshold if (salt_threshold and n_sources > salt_threshold) else None
 
-    s_cells = C.with_cell(s, grid, x=sx, y=sy, out="_cell").persist()
+    import os as _os, time as _time
+
+    _dbg = _os.environ.get("SPARK_GRAFT_KNN_DEBUG")
     w = Window.partitionBy(tid).orderBy(F.col("dist"), F.col(sid))
 
-    remaining = t
-    n_remaining = n_targets
-    # geometric ring schedule (×4): every round is one driver action, and the
-    # candidate volume per round stays bounded because each round settles the
-    # targets whose k-th neighbor is provably inside the searched ring —
-    # by the time rings get large, few targets remain to explode them
-    full_ring = int(math.ceil(diag / grid.min_cell_edge)) + 1
-    schedule = []
-    r = 1
-    while r < full_ring and len(schedule) < max_rounds - 1:
-        schedule.append(r)
-        r *= 4
-    schedule.append(full_ring)
-    if max_radius is not None:
-        cap = grid.rings_needed(max_radius)
-        schedule = sorted({min(rr, cap) for rr in schedule})
-    pieces = []
-    for ring in schedule:
-        t_cells = C.kring_exploded(remaining, grid, ring, x=tx, y=ty, out="_cell")
-        cand = _salted_cell_join(t_cells, s_cells, thr)
+    def _kbest(cand: DataFrame) -> DataFrame:
+        """k best (dist, s_id) rows per target from a candidate set, plus
+        bookkeeping columns `_cnt` (candidates seen) and `_kth` (worst kept
+        distance)."""
         cand = cand.withColumn("dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy)))
         if max_radius is not None:
             cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
         if exclude_same_id:
             cand = cand.filter(F.col(tid) != F.col(sid))
         if k == 1:
-            # 1-NN: hash aggregate with partial (map-side) combine instead of
-            # a window sort — min(struct(dist, s_id, payload)) per target
+            # hash aggregate with partial (map-side) combine beats a window
+            # sort: min(struct(dist, s_id, payload)) per target
             other = [c for c in cand.columns if c not in (tid, "dist", sid, "_cell")]
             packed = cand.groupBy(tid).agg(
-                F.min(
-                    F.struct(F.col("dist"), F.col(sid), *[F.col(c) for c in other])
-                ).alias("_b")
+                F.min(F.struct(F.col("dist"), F.col(sid), *[F.col(c) for c in other])).alias("_b"),
+                F.count("*").alias("_cnt"),
             )
-            ranked = packed.select(
+            return packed.select(
                 tid,
                 F.col(f"_b.{sid}").alias(sid),
                 F.col("_b.dist").alias("dist"),
                 *[F.col(f"_b.{c}").alias(c) for c in other],
                 F.lit(1).alias("rank"),
+                F.col("_cnt"),
+                F.col("_b.dist").alias("_kth"),
             )
-        else:
-            ranked = (
-                cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .drop("_cell")
-            )
-
-        guaranteed = ring * grid.min_cell_edge
-        covers_all = guaranteed >= diag or (max_radius is not None and guaranteed >= max_radius)
-        if covers_all:
-            pieces.append(ranked)
-            remaining = None
-            break
-
-        ranked = ranked.persist()
-        stats = ranked.groupBy(tid).agg(F.max("dist").alias("_kth"), F.count("*").alias("_cnt"))
-        settled_ids = stats.filter(
-            (F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(guaranteed))
-        ).select(tid).persist()
-        # the round's ONLY driver action: how many targets settled
-        n_settled = settled_ids.count()
-        pieces.append(ranked.join(settled_ids, tid, "left_semi"))
-        n_remaining -= n_settled
-        if n_remaining <= 0:
-            remaining = None
-            break
-        settled_alias = settled_ids.select(F.col(tid).alias("_settled_id"))
-        remaining = remaining.join(
-            settled_alias, remaining[tid] == settled_alias["_settled_id"], "left_anti"
+        ranked = cand.withColumn("rank", F.row_number().over(w)).withColumn(
+            "_cnt", F.count("*").over(Window.partitionBy(tid))
         )
+        topk = ranked.filter(F.col("rank") <= k).drop("_cell")
+        return topk.withColumn("_kth", F.max("dist").over(Window.partitionBy(tid)))
+
+    # ---------------------------------------------------------------------
+    # Level loop.  At each level the sources are keyed at a resolution
+    # (coarsened ×8 per level — the cell key is pure arithmetic, sources
+    # never recomputed), and each remaining target runs:
+    #   ring-1 candidates → (a) PROVEN if its k-th candidate is within one
+    #   cell edge (nothing outside the ring can be nearer), else (b) an
+    #   exact VERIFY pass whose per-target ring covers its own candidate
+    #   ball (≤ ~6 rings, since the ball fits inside the 3×3 block), else
+    #   (c) — fewer than k candidates — fall through to the next (coarser)
+    #   level.  Dense regions resolve at fine levels with bounded cell
+    #   occupancy (no m² pair blowup); sparse fringes resolve a level or
+    #   two later; a bounded streaming scan finishes any tiny remainder.
+    # Driver actions: one count per level (≈2–3 levels in practice).
+    # ---------------------------------------------------------------------
+    t_payload = [c for c in t.columns if c not in (tid, tx, ty)]
+    pieces = []
+    cur = t
+    n_cur = n_targets
+    level_step = 3
+    d = 0
+    while True:
+        gridL = C.CellGrid(x0, y0, x1, y1, max(0, grid.res - d))
+        sL = C.with_cell(s, gridL, x=sx, y=sy, out="_cell").persist()
+        edge = gridL.min_cell_edge
+
+        t0_ = _time.perf_counter()
+        t_cells = C.kring_exploded(cur, gridL, 1, x=tx, y=ty, out="_cell")
+        best = _kbest(_salted_cell_join(t_cells, sL, thr)).persist()
+
+        proven = best.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(edge))).drop(
+            "_cnt", "_kth"
+        )
+        pieces.append(proven)
+
+        head = best.filter(F.col("rank") == 1).select(tid, tx, ty, "_kth", "_cnt")
+        unproven = head.filter((F.col("_cnt") >= k) & (F.col("_kth") > F.lit(edge)))
+        ring_col = F.least(
+            F.ceil(F.col("_kth") / F.lit(edge)).cast("int") + F.lit(1),
+            F.lit(int(math.ceil(diag / edge)) + 1),
+        )
+        verify_t = unproven.select(tid, tx, ty, ring_col.alias("_ring"))
+        vb_cells = C.kring_exploded_var(verify_t, gridL, "_ring", x=tx, y=ty, out="_cell").drop(
+            "_ring"
+        )
+        bestB = _kbest(_salted_cell_join(vb_cells, sL, thr)).drop("_cnt", "_kth")
+        if t_payload:
+            bestB = bestB.join(cur.select(tid, *t_payload), tid)
+        pieces.append(bestB)
+
+        resolved_ids = head.filter(F.col("_cnt") >= k).select(tid)
+        starved = cur.join(resolved_ids, tid, "left_anti")
+        n_starved = starved.count()  # the level's one driver action
+        if _dbg:
+            print(
+                f"[knn] level res={gridL.res} targets={n_cur} starved={n_starved} "
+                f"({_time.perf_counter()-t0_:.2f}s)"
+            )
+        if n_starved == 0:
+            break
+        # below ~base_res the cells hold an O(1) fraction of ALL sources, so
+        # a level join degenerates to the all-pairs scan but with shuffle
+        # overhead on top — switch to the bounded streaming scan instead
+        res_floor = max(0, base_res - 4)
+        if (
+            n_starved <= finish_threshold
+            or gridL.res == 0
+            or gridL.res - level_step <= res_floor
+        ):
+            pieces.append(
+                _bcast_targets_scan(
+                    starved, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
+                )
+            )
+            break
+        # truncate lineage: each level's plan otherwise embeds every prior
+        # level's anti-join, and planning time grows superlinearly
+        # escalate the coarsening step when a level resolved almost nothing
+        # (multi-scale data: the gap between density scales carries no
+        # information, so cross it geometrically instead of crawling)
+        if n_starved > 0.9 * n_cur:
+            level_step = min(level_step * 2, 6)
+        cur = starved.localCheckpoint(eager=False)
+        n_cur = n_starved
+        d += level_step
 
     out = pieces[0]
     for p in pieces[1:]:
-        out = out.unionByName(p)
-    # Unpersisting is safe (lineage recomputes deterministically: the rank
-    # window has a total-order tie-break); we keep the final round's ranked
-    # pieces cached since consumers typically aggregate them immediately.
-    s_cells.unpersist()
+        out = out.unionByName(p, allowMissingColumns=False)
     return out
