@@ -432,6 +432,28 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring (length/punct/stopword heuristics), JVM-side."""
+    from geostatstransforms_jl_spark.textops.quality import quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_scores(docs).select(
+        "doc_id",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (xxhash64 chain — Spark
+    hash not reproducible in DuckDB ⇒ rows-only check)."""
+    from geostatstransforms_jl_spark.textops.quality import doc_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -471,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quenching": q_quenching,
         "embed_neardup": q_embed_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -812,7 +836,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
         """,
+        "doc_quality": _doc_quality_oracle(),
     }
+
+
+def _doc_quality_oracle() -> str:
+    """Mirrors textops.quality.quality_scores: POSIX punct class matches
+    Java's \\p{Punct} (both the ASCII punctuation set)."""
+    from geostatstransforms_jl_spark.textops.quality import STOPWORDS
+
+    en = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(lower(text)), '\s+') AS w,
+                 length(text) AS n_char,
+                 length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(w) AS n_tok,
+                 n_char, punct,
+                 len(list_filter(w, t -> list_contains([{en}], t))) * 1.0
+                   / greatest(len(w), 1) AS stop_ratio,
+                 n_char * 1.0 / greatest(len(w), 1) AS mean_wlen,
+                 punct * 1.0 / greatest(n_char, 1) AS punct_ratio
+          FROM d
+        )
+        SELECT doc_id,
+               ROUND(stop_ratio, 6) AS stop_ratio,
+               ROUND(punct_ratio, 6) AS punct_ratio,
+               ROUND((
+                 least(n_tok / 64.0, 1.0)
+                 + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 12 THEN 1.0 ELSE 0.3 END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.2 END)
+                 + least(stop_ratio * 4.0, 1.0)
+               ) / 4.0, 6) AS quality
+        FROM m
+    """
 
 
 def _lang_id_oracle() -> str:
