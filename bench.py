@@ -55,6 +55,11 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
         per_q[name] = round(time.perf_counter() - t0, 3)
         assert n > 0, f"{name} returned 0 rows"
     total = round(time.perf_counter() - t_all, 3)
+
+    # the north-rule metric itself: image spatial-join + tile-assignment
+    # over the input_hint-shaped synthetic table, in the same session
+    n_img = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+    img = _image_stages(spark, n_img, int(cpus))
     spark.stop()
     return {
         "metric": "spatial-join+tile-assignment headline suite",
@@ -65,6 +70,50 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
         "cpus": int(cpus),
         "lineitem_rows": n_li,
         "rows_per_sec": round(n_li * len(names) / total, 1),
+        "image_workload": img,
+    }
+
+
+def _image_stages(spark, n_images: int, cpus: int) -> dict:
+    """Shared by run_bench and image_workload: synthesis → per-tile Sobel →
+    phash georeference → cell-path 1-NN self-join → exact dedup."""
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.operators.gradient import gradient_packed
+    from geostatstransforms_jl_spark.functions.knn import knn_join
+    from geostatstransforms_jl_spark.operators.uniquecoords import unique_coords_df
+    from pyspark.sql import functions as F
+
+    stage_t = {}
+    t0 = time.perf_counter()
+    imgs = synthetic_images(spark, n_images, partitions=4 * cpus).persist()
+    t = time.perf_counter()
+    n_g = gradient_packed(imgs).count()
+    stage_t["synth+gradient"] = round(time.perf_counter() - t, 2)
+    pts = imgs.select(
+        F.col("image_id"),
+        F.xxhash64("image_id").alias("row_id"),
+        ((F.shiftrightunsigned("phash", 15) % 100000) / 100000.0).alias("x"),
+        ((F.col("phash") % 32768) / 32768.0).alias("y"),
+        F.col("phash"),
+    ).persist()
+    t = time.perf_counter()
+    nn = knn_join(
+        pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=20_000
+    )
+    n_nn = nn.count()
+    stage_t["knn"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    n_uc = unique_coords_df(pts.drop("image_id"), ("x", "y")).count()
+    stage_t["unique"] = round(time.perf_counter() - t, 2)
+    sec = time.perf_counter() - t0
+    imgs.unpersist()
+    pts.unpersist()
+    return {
+        "images": n_images,
+        "sec": round(sec, 2),
+        "stages": stage_t,
+        "rows": {"gradient": n_g, "knn": n_nn, "unique": n_uc},
+        "images_per_sec": round(n_images / sec, 1),
     }
 
 
@@ -79,53 +128,14 @@ def image_workload(cpus: str, n_images: int) -> dict:
     substitute for N vs 4N executors in a single-node sandbox.
     """
     from geostatstransforms_jl_spark.core.session import get_spark
-    from geostatstransforms_jl_spark.core.images import synthetic_images
-    from geostatstransforms_jl_spark.operators.gradient import gradient_packed
-    from geostatstransforms_jl_spark.functions.knn import knn_join
-    from geostatstransforms_jl_spark.operators.uniquecoords import unique_coords_df
-    from pyspark.sql import functions as F
 
     spark = get_spark(
         app=f"gst-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
     spark.range(10).count()  # JVM warm
-    stage_t = {}
-    t0 = time.perf_counter()
-    # synthesis counted once: persisted, like a real pipeline's ingested table
-    imgs = synthetic_images(spark, n_images, partitions=4 * int(cpus)).persist()
-    t = time.perf_counter()
-    # tile-assignment: decode + stencil per tile, no pixel explosion
-    n_g = gradient_packed(imgs).count()
-    stage_t["synth+gradient"] = round(time.perf_counter() - t, 2)
-    # georeference each tile from its phash (pure expressions)
-    pts = imgs.select(
-        F.col("image_id"),
-        F.xxhash64("image_id").alias("row_id"),
-        ((F.shiftrightunsigned("phash", 15) % 100000) / 100000.0).alias("x"),
-        ((F.col("phash") % 32768) / 32768.0).alias("y"),
-        F.col("phash"),
-    ).persist()
-    # spatial self 1-NN join on tile anchors — force the distributed cell path
-    t = time.perf_counter()
-    nn = knn_join(
-        pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=20_000
-    )
-    n_nn = nn.count()
-    stage_t["knn"] = round(time.perf_counter() - t, 2)
-    # exact-coordinate dedup (Zipfian phash low bits → hot keys)
-    t = time.perf_counter()
-    n_uc = unique_coords_df(pts.drop("image_id"), ("x", "y")).count()
-    stage_t["unique"] = round(time.perf_counter() - t, 2)
-    sec = time.perf_counter() - t0
+    out = _image_stages(spark, n_images, int(cpus))
     spark.stop()
-    return {
-        "cpus": int(cpus),
-        "images": n_images,
-        "sec": round(sec, 2),
-        "stages": stage_t,
-        "rows": {"gradient": n_g, "knn": n_nn, "unique": n_uc},
-        "images_per_sec": round(n_images / sec, 1),
-    }
+    return {"cpus": int(cpus), **out}
 
 
 def calibrate(levels=("2", "8", "32")) -> dict:

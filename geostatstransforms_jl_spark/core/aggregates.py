@@ -50,16 +50,50 @@ def scitype_of(dtype: T.DataType) -> str:
     return "categorical"
 
 
-def first_by(col: Union[str, Column], order: Union[str, Column]) -> Column:
-    """First non-null value of `col` in `order` order (deterministic)."""
+# value types whose min_by/max_by aggregation buffer is mutable — these stay
+# in Catalyst's HASH aggregate.  Var-length values (string/binary/array/struct)
+# force the sort-based fallback, measured empirically: min_by(int, long) →
+# HashAggregate, min_by(string, long) → SortAggregate.
+_FIXED_WIDTH = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.BooleanType,
+    T.DateType,
+    T.TimestampType,
+    T.DecimalType,
+)
+
+
+def first_by(
+    col: Union[str, Column], order: Union[str, Column], dtype: Optional[T.DataType] = None
+) -> Column:
+    """First non-null value of `col` in `order` order (deterministic).
+
+    Fixed-width dtypes use ``min_by`` with a null-masked ordering key (rows
+    where the value is null get a null key, which MaxMinBy skips) — a pure
+    HASH aggregate.  Var-length dtypes fall back to min-over-struct, which
+    Catalyst plans as a (partial-aggregating) SortAggregate; callers that
+    know the column is low-cardinality should dictionary-encode first
+    (see operators.uniquecoords).
+    """
     c = F.col(col) if isinstance(col, str) else col
     o = F.col(order) if isinstance(order, str) else order
+    if dtype is not None and isinstance(dtype, _FIXED_WIDTH):
+        return F.min_by(c, F.when(c.isNotNull(), o))
     return F.min(F.when(c.isNotNull(), F.struct(o.alias("o"), c.alias("v")))).getField("v")
 
 
-def last_by(col: Union[str, Column], order: Union[str, Column]) -> Column:
+def last_by(
+    col: Union[str, Column], order: Union[str, Column], dtype: Optional[T.DataType] = None
+) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     o = F.col(order) if isinstance(order, str) else order
+    if dtype is not None and isinstance(dtype, _FIXED_WIDTH):
+        return F.max_by(c, F.when(c.isNotNull(), o))
     return F.max(F.when(c.isNotNull(), F.struct(o.alias("o"), c.alias("v")))).getField("v")
 
 
@@ -102,9 +136,9 @@ def _make_builtin(name: str):
         if name == "count":
             return F.count(col)
         if name == "first":
-            return first_by(col, order_col)
+            return first_by(col, order_col, dtype)
         if name == "last":
-            return last_by(col, order_col)
+            return last_by(col, order_col, dtype)
         if name == "mode":
             return mode_expr(col, dtype)
         raise KeyError(name)

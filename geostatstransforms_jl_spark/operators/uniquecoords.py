@@ -30,16 +30,50 @@ from ..core.aggregates import AggLike, grouped_agg, resolve_aggs
 from ..core.geotable import GeoTable, GridDomain, PointDomain
 
 
+MAX_DICT = 1 << 16
+
+
 def unique_coords_df(
     df: DataFrame,
     coord_cols=("x", "y"),
     overrides: Optional[Mapping[str, AggLike]] = None,
     row_id: str = "row_id",
+    dict_encode: bool = True,
 ) -> DataFrame:
+    from pyspark.sql import types as T
+
     value_cols = [c for c in df.columns if c not in set(coord_cols) | {row_id}]
-    aggs, pandas_cols = resolve_aggs(df, value_cols, overrides, order_col=row_id)
+
+    # Dictionary-encode low-cardinality string columns that aggregate with
+    # first/last: min_by over an int code keeps the WHOLE dedup inside one
+    # Catalyst HASH aggregate (string buffers force the sort-based fallback —
+    # a per-partition sort of every row, which is the dominant cost at scale).
+    # One tiny distinct-collect per string column buys that back; columns
+    # whose dictionary exceeds MAX_DICT stay strings on the sort path.
+    decode = {}
+    ov = dict(overrides or {})
+    if dict_encode:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        for c in value_cols:
+            spec = ov.get(c, "first" if not isinstance(dtypes[c], (T.DoubleType, T.FloatType, T.DecimalType)) else "mean")
+            if not isinstance(dtypes[c], T.StringType) or spec not in ("first", "last"):
+                continue
+            vals = [r[0] for r in df.select(c).distinct().limit(MAX_DICT + 1).collect()]
+            if len(vals) > MAX_DICT:
+                continue
+            vals = sorted(v for v in vals if v is not None)
+            code = F.map_from_arrays(
+                F.array(*[F.lit(v) for v in vals]),
+                F.array(*[F.lit(i) for i in range(len(vals))]),
+            )
+            df = df.withColumn(c, F.element_at(code, F.col(c)))
+            decode[c] = F.array(*[F.lit(v) for v in vals])
+
+    aggs, pandas_cols = resolve_aggs(df, value_cols, ov, order_col=row_id)
     exprs = {row_id: F.min(row_id).alias(row_id), **aggs}
     out = grouped_agg(df, list(coord_cols), exprs, pandas_cols)
+    for c, arr in decode.items():
+        out = out.withColumn(c, F.element_at(arr, F.col(c) + 1))
     return out.select(*coord_cols, row_id, *value_cols)
 
 
