@@ -138,6 +138,56 @@ def image_workload(cpus: str, n_images: int) -> dict:
     return {"cpus": int(cpus), **out}
 
 
+def stress(cpus: str = CPUS) -> dict:
+    """The reference's own largest in-repo scales, reproduced distributed:
+
+    * 2,000,000-row exact-coordinate dedup → 1,000,000 unique
+      (reference test/uniquecoords.jl:4-12, run on a 2-thread CI)
+    * 16,200 × 8,100 = 131.2M-cell Upscale by factors (80, 40) → 203×203
+      (reference test/upscale.jl:84-97, threaded tmap)
+    """
+    from geostatstransforms_jl_spark.core.session import get_spark
+    from geostatstransforms_jl_spark.operators.uniquecoords import unique_coords_df
+    from geostatstransforms_jl_spark.operators.upscale import upscale_df
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app=f"gst-stress-{cpus}", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.range(10).count()
+    out = {}
+
+    n = 2_000_000
+    df = (
+        spark.range(n, numPartitions=4 * int(cpus))
+        .withColumn("x", (F.col("id") % (n // 2)).cast("double"))
+        .withColumn("y", (F.col("id") % 1000).cast("double") / 7.0)
+        .withColumn("a", F.col("id").cast("double"))
+        .withColumn("flag", F.concat(F.lit("f"), (F.col("id") % 5)))
+        .withColumnRenamed("id", "row_id")
+    )
+    t0 = time.perf_counter()
+    n_uniq = unique_coords_df(df, ("x", "y")).count()
+    sec = time.perf_counter() - t0
+    out["dedup_2M"] = {"rows": n, "unique": n_uniq, "sec": round(sec, 2),
+                       "rows_per_sec": round(n / sec, 1)}
+
+    nx, ny = 16200, 8100
+    cells = nx * ny
+    g = (
+        spark.range(cells, numPartitions=8 * int(cpus))
+        .withColumn("i", (F.col("id") % nx).cast("int"))
+        .withColumn("j", (F.col("id") / nx).cast("int"))
+        .withColumn("q", (F.col("id") % 997).cast("double"))
+        .withColumnRenamed("id", "row_id")
+    )
+    t0 = time.perf_counter()
+    n_up = upscale_df(g, 80, 40, ("i", "j"), row_id="row_id").count()
+    sec = time.perf_counter() - t0
+    out["upscale_131M"] = {"cells": cells, "out_blocks": n_up, "sec": round(sec, 2),
+                           "cells_per_sec": round(cells / sec, 1)}
+    spark.stop()
+    return out
+
+
 def calibrate(levels=("2", "8", "32")) -> dict:
     """Machine ceiling: a pure-JVM compute job (sha2 over range) at several
     parallelism levels.  This sandbox's 32 vCPUs are host-oversubscribed —
@@ -208,7 +258,9 @@ def run_scaling(low: str = "2", high: str = "8") -> dict:
 
 
 if __name__ == "__main__":
-    if "--image-workload" in sys.argv:
+    if "--stress" in sys.argv:
+        print(json.dumps(stress()))
+    elif "--image-workload" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
         print(json.dumps(image_workload(CPUS, n)))
     elif "--calibrate" in sys.argv:
