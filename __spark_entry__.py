@@ -454,6 +454,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup of the events table (count/sum/median
+    per hour × event_type) — one hash aggregate on a time-prefixed key."""
+    from geostatstransforms_jl_spark.functions.timeseries import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = time_rollup(ev, "hour")
+    return out.select(
+        "bucket", "event_type", "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("median_value", 6).alias("median_value"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) per user: lag + conditional
+    cumulative sum, single exchange+sort."""
+    from geostatstransforms_jl_spark.functions.timeseries import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, 1800).select(
+        "user_id", "session_seq", "n_events", "session_start", "session_end"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -495,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "events_rollup": q_events_rollup,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -837,6 +865,36 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
         """,
         "doc_quality": _doc_quality_oracle(),
+        "events_rollup": """
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   ROUND(AVG(value), 6) AS avg_value,
+                   ROUND(MEDIAN(value), 6) AS median_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                            OR LAG(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end
+            FROM s GROUP BY 1, 2
+        """,
     }
 
 

@@ -226,23 +226,30 @@ def run_scaling(low: str = "2", high: str = "8") -> dict:
     at ~1.6× by vCPU oversubscription — a hardware ceiling no engine can
     exceed."""
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "80000"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     out = {}
-    for cpus in (low, high):
-        # 16g: enough to avoid spills at 32 concurrent tasks, small enough to
-        # avoid the G1 large-heap pause pathology we measured at 48g
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
-                   SPARK_GRAFT_BENCH_IMAGES=str(n_images),
-                   SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        r = subprocess.run(
-            [sys.executable, __file__, "--image-workload"],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
-        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(f"scaling run failed at local[{cpus}]: {r.stderr[-2000:]}")
-        out[cpus] = json.loads(lines[-1])
+    # the host oversubscribes its vCPUs and background load swings wall-clock
+    # ±3×; interleave the two levels and keep each level's BEST run so a
+    # noisy-neighbor burst doesn't land on one level only
+    for rep in range(reps):
+        for cpus in (low, high):
+            # 16g: enough to avoid spills at 32 concurrent tasks, small enough
+            # to avoid the G1 large-heap pause pathology we measured at 48g
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                       SPARK_GRAFT_BENCH_IMAGES=str(n_images),
+                       SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+            r = subprocess.run(
+                [sys.executable, __file__, "--image-workload"],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"scaling run failed at local[{cpus}]: {r.stderr[-2000:]}")
+            res = json.loads(lines[-1])
+            if cpus not in out or res["images_per_sec"] > out[cpus]["images_per_sec"]:
+                out[cpus] = res
     tl, th = out[low]["images_per_sec"], out[high]["images_per_sec"]
     ratio = int(high) / int(low)
     eff = (th / tl) / ratio

@@ -610,10 +610,15 @@ def knn_join(
         pieces.append(proven)
 
         head = best.filter(F.col("rank") == 1).select(tid, tx, ty, "_kth", "_cnt")
-        unproven = head.filter((F.col("_cnt") >= k) & (F.col("_kth") > F.lit(edge)))
-        ring_col = F.least(
-            F.ceil(F.col("_kth") / F.lit(edge)).cast("int") + F.lit(1),
-            F.lit(int(math.ceil(diag / edge)) + 1),
+        # verify ring sized by the target's own candidate ball — but CAPPED:
+        # a target whose ball spans many cells of this level would explode
+        # (2r+1)² rows here, while one level coarser the same ball needs r/8
+        # rings.  Deferring it costs one cheap re-discovery; verifying it
+        # here costs quadratic explode volume.  R_MAX=6 ⇒ ≤169 cells/target.
+        R_MAX = 6
+        ring_col = F.ceil(F.col("_kth") / F.lit(edge)).cast("int") + F.lit(1)
+        unproven = head.filter(
+            (F.col("_cnt") >= k) & (F.col("_kth") > F.lit(edge)) & (ring_col <= R_MAX)
         )
         verify_t = unproven.select(tid, tx, ty, ring_col.alias("_ring"))
         vb_cells = C.kring_exploded_var(verify_t, gridL, "_ring", x=tx, y=ty, out="_cell").drop(
@@ -622,9 +627,12 @@ def knn_join(
         bestB = _kbest(_salted_cell_join(vb_cells, sL, thr)).drop("_cnt", "_kth")
         if t_payload:
             bestB = bestB.join(cur.select(tid, *t_payload), tid)
+        if _dbg:
+            _tv = _time.perf_counter()
+            print(f"[knn]   verify rows={bestB.count()} ({_time.perf_counter()-_tv:.2f}s)")
         pieces.append(bestB)
 
-        resolved_ids = head.filter(F.col("_cnt") >= k).select(tid)
+        resolved_ids = head.filter((F.col("_cnt") >= k) & (ring_col <= R_MAX)).select(tid)
         starved = cur.join(resolved_ids, tid, "left_anti")
         n_starved = starved.count()  # the level's one driver action
         if _dbg:
@@ -634,20 +642,22 @@ def knn_join(
             )
         if n_starved == 0:
             break
-        # below ~base_res the cells hold an O(1) fraction of ALL sources, so
-        # a level join degenerates to the all-pairs scan but with shuffle
-        # overhead on top — switch to the bounded streaming scan instead
-        res_floor = max(0, base_res - 4)
+        # the scan touches n_remaining × n_sources distance pairs; a coarser
+        # level touches ~9 × n_remaining × avg-occupancy.  Scan only when its
+        # volume is genuinely small (or the ladder is exhausted) — a tiny
+        # straggler count over a huge source table still wants more levels.
+        scan_budget = 200_000_000
         if (
-            n_starved <= finish_threshold
+            (n_starved <= finish_threshold and n_starved * n_sources <= scan_budget)
             or gridL.res == 0
-            or gridL.res - level_step <= res_floor
         ):
-            pieces.append(
-                _bcast_targets_scan(
-                    starved, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
-                )
+            scan_piece = _bcast_targets_scan(
+                starved, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
             )
+            if _dbg:
+                _ts = _time.perf_counter()
+                print(f"[knn]   scan rows={scan_piece.count()} ({_time.perf_counter()-_ts:.2f}s)")
+            pieces.append(scan_piece)
             break
         # truncate lineage: each level's plan otherwise embeds every prior
         # level's anti-join, and planning time grows superlinearly

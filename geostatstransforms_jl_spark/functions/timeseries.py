@@ -1,0 +1,63 @@
+"""Time-series rollup and sessionization over event streams.
+
+The reference is batch-only (SURVEY.md §2.3 "Streaming: none"), but a
+large-scale training-data pipeline needs the time dimension: hypertable-style
+bucketed rollups and gap-based sessionization.  Both are pure Catalyst
+(window + hash aggregate); the same expressions run under Structured
+Streaming with a watermark (see streaming/incremental.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_rollup(
+    df: DataFrame,
+    bucket: str = "hour",
+    ts_col: str = "ts",
+    key_cols=("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Bucketed rollup: count / sum / mean / exact median per (bucket, keys).
+
+    One hash aggregate keyed on `date_trunc(bucket, ts)` + keys — the shuffle
+    key is time-prefixed, so range-partitioned sinks stay append-friendly at
+    scale (late buckets touch few partitions).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    return df.groupBy(b, *key_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("sum_value"),
+        F.avg(value_col).alias("avg_value"),
+        F.median(value_col).alias("median_value"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the user's inter-event
+    gap exceeds `gap_seconds`.  lag + conditional cumulative sum over one
+    per-user window — two window passes on the same (user, ts) sort, which
+    Catalyst executes with a single exchange + sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # TIMESTAMP_NTZ has no direct long cast; epoch seconds via timestamp
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_s = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    with_id = df.withColumn("_new", new_s).withColumn(
+        "session_seq", F.sum("_new").over(w)
+    )
+    return (
+        with_id.groupBy(user_col, "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )

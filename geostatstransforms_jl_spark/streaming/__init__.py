@@ -1,3 +1,13 @@
-from .incremental import streaming_quality, streaming_unique_coords, streaming_tile_agg
+from .incremental import (
+    streaming_quality,
+    streaming_tile_agg,
+    streaming_time_rollup,
+    streaming_unique_coords,
+)
 
-__all__ = ["streaming_quality", "streaming_unique_coords", "streaming_tile_agg"]
+__all__ = [
+    "streaming_quality",
+    "streaming_tile_agg",
+    "streaming_time_rollup",
+    "streaming_unique_coords",
+]

@@ -74,6 +74,30 @@ def streaming_tile_agg(
     )
 
 
+def streaming_time_rollup(
+    stream: DataFrame,
+    bucket: str = "1 hour",
+    ts_col: str = "ts",
+    key_cols=("event_type",),
+    value_col: str = "value",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked hypertable rollup: the streaming twin of
+    functions.timeseries.time_rollup — tumbling window + hash agg, state
+    dropped for sealed windows (median is not associative, so the streaming
+    variant serves count/sum/avg; exact medians come from the batch layer
+    over sealed partitions)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), bucket).alias("bucket"), *key_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+        )
+    )
+
+
 def streaming_quality(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """Stateless per-row projection — identical plan in batch and streaming."""
     from ..textops.quality import quality_scores, token_stats

@@ -127,3 +127,31 @@ def test_streaming_unique_coords(spark, tmp_path):
     b = {(r.x, r.y): r.a for r in batch.collect()}
     g = {(r.x, r.y): r.a for r in got.collect()}
     assert b == pytest.approx(g)
+
+
+def test_streaming_time_rollup(spark, tmp_path):
+    # streaming hourly rollup over a file source == batch rollup (count/sum/avg)
+    from geostatstransforms_jl_spark.streaming import streaming_time_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = tmp_path / "ev_src"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    agg = streaming_time_rollup(stream, "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select bucket.start as b, event_type, n, sum_value from ev_stream")
+    batch = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("b"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    g = {(r.b, r.event_type): (r.n, round(r.sum_value, 6)) for r in got.collect()}
+    b = {(r.b, r.event_type): (r.n, round(r.sum_value, 6)) for r in batch.collect()}
+    assert g == b
