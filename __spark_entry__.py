@@ -454,6 +454,51 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize axis-aligned rectangle polygons (cell-CENTER coverage,
+    even-odd rule — src/rasterize.jl:82) onto a 24×24 grid with mean agg;
+    rectangle bounds use .37/.13 offsets so no cell center sits exactly on
+    an edge (both engines then agree without boundary ambiguity)."""
+    from geostatstransforms_jl_spark.core.grid import GridMeta
+    from geostatstransforms_jl_spark.operators.rasterize import rasterize_df
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("row_id"),
+        ((F.col("s_suppkey") % 13).cast("double") + 0.37).alias("x1"),
+        ((F.col("s_suppkey") % 11).cast("double") + 0.13).alias("y1"),
+        F.col("s_acctbal").cast("double").alias("bal"),
+    )
+    s = s.withColumn("x2", F.col("x1") + 3.21).withColumn("y2", F.col("y1") + 2.87)
+    pt = lambda xc, yc: F.struct(xc.alias("x"), yc.alias("y"))
+    geoms = s.select(
+        "row_id",
+        F.lit("polygon").alias("kind"),
+        F.array(
+            F.array(
+                pt(F.col("x1"), F.col("y1")),
+                pt(F.col("x2"), F.col("y1")),
+                pt(F.col("x2"), F.col("y2")),
+                pt(F.col("x1"), F.col("y2")),
+            )
+        ).alias("rings"),
+        "bal",
+    )
+    meta = GridMeta(24, 24, 0.0, 0.0, 20.0 / 24, 16.0 / 24)
+    out, _ = rasterize_df(geoms, meta)
+    return out.select("i", "j", F.round("bal", 6).alias("bal"))
+
+
+def q_detrend_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply ∘ revert identity for Detrend (reference test/detrend.jl:8-13):
+    the fitted trend is subtracted then added back — oracle is the input."""
+    from geostatstransforms_jl_spark.operators.detrend import detrend_df, retrend_df
+
+    pts = _supplier_points(spark, sf_dir)
+    de, coefs = detrend_df(pts, ["bal"], degree=1)
+    back = retrend_df(de, coefs, 1)
+    return back.select(F.col("row_id").alias("supp"), F.round("bal", 6).alias("bal"))
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hourly rollup of the events table (count/sum/median
     per hour × event_type) — one hash aggregate on a time-prefixed key."""
@@ -523,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
+        "rasterize_polygons": q_rasterize_polygons,
+        "detrend_roundtrip": q_detrend_roundtrip,
     }
 
 
@@ -865,6 +912,35 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
         """,
         "doc_quality": _doc_quality_oracle(),
+        "detrend_roundtrip": f"""
+            WITH p AS ({_SUPP_PTS})
+            SELECT row_id AS supp, ROUND(bal, 6) AS bal FROM p
+        """,
+        "rasterize_polygons": """
+            WITH r AS (
+              SELECT s_suppkey::BIGINT AS row_id,
+                     (s_suppkey % 13)::DOUBLE + 0.37 AS x1,
+                     (s_suppkey % 11)::DOUBLE + 0.13 AS y1,
+                     s_acctbal::DOUBLE AS bal
+              FROM supplier
+            ),
+            rect AS (SELECT row_id, x1, y1, x1 + 3.21 AS x2, y1 + 2.87 AS y2, bal FROM r),
+            grid AS (
+              SELECT a.i::INT AS i, b.j::INT AS j,
+                     (i + 0.5) * (20.0/24) AS cx,
+                     (j + 0.5) * (16.0/24) AS cy
+              FROM generate_series(0, 23) a(i), generate_series(0, 23) b(j)
+            ),
+            cov AS (
+              SELECT g.i, g.j, rect.bal
+              FROM grid g JOIN rect
+                ON g.cx > rect.x1 AND g.cx < rect.x2
+               AND g.cy > rect.y1 AND g.cy < rect.y2
+            ),
+            agg AS (SELECT i, j, ROUND(AVG(bal), 6) AS bal FROM cov GROUP BY 1, 2)
+            SELECT g.i, g.j, agg.bal
+            FROM grid g LEFT JOIN agg ON g.i = agg.i AND g.j = agg.j
+        """,
         "events_rollup": """
             SELECT date_trunc('hour', ts) AS bucket, event_type,
                    COUNT(*) AS n,

@@ -1,3 +1,4 @@
 from .knn import knn_join, radius_join
+from .timeseries import sessionize, time_rollup
 
-__all__ = ["knn_join", "radius_join"]
+__all__ = ["knn_join", "radius_join", "sessionize", "time_rollup"]
