@@ -10,6 +10,7 @@ from .rasterize import Rasterize
 from .potrace import Potrace
 from .detrend import Detrend
 from .seqfilters import ModeFilter, Quenching, MaxPosterior
+from .tabletransforms import Filter, OneHot, Only, Reject, Select, StdFeats
 
 __all__ = [
     "UniqueCoords",
@@ -29,4 +30,10 @@ __all__ = [
     "ModeFilter",
     "Quenching",
     "MaxPosterior",
+    "Select",
+    "Reject",
+    "Only",
+    "Filter",
+    "OneHot",
+    "StdFeats",
 ]

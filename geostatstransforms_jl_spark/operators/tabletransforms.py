@@ -1,0 +1,169 @@
+"""TableTransforms vocabulary reused by the reference as sub-operators
+(primitive P12, SURVEY.md §2.2): Select, Reject, Filter, OneHot, StdFeats.
+
+The reference leans on TableTransforms.jl for these inside its own pipelines
+(`Select` src/detrend.jl:51, `Only(Continuous)` src/droplocallowhigh.jl:37,
+`Filter`/`Reject` in Rasterize.revert src/rasterize.jl:129, `OneHot`
+src/maxposterior.jl:62, `StdFeats` src/clustering/slic.jl:64).  Here each is
+a Pipeline-composable stage over a GeoTable: pure column projections and
+filters stay single Catalyst expressions (and push down through earlier
+lazy stages); StdFeats is the classic two-pass agg + broadcast combine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.geotable import GeoTable
+from .uniquecoords import unique_coords_df  # noqa: F401  (re-export convenience)
+
+
+def _meta_cols(gt: GeoTable) -> list:
+    """Columns that carry geometry/identity and always survive a projection."""
+    keep = [gt.row_id]
+    dom = gt.domain
+    for attr in ("coord_cols", "index_cols"):
+        keep += list(getattr(dom, attr, ()))
+    if getattr(dom, "tile_col", None):
+        keep.append(dom.tile_col)
+    return [c for c in dict.fromkeys(keep) if c in gt.df.columns]
+
+
+@dataclass
+class Select:
+    """Keep only `cols` (plus geometry/row-id columns)."""
+
+    cols: Sequence[str]
+
+    def apply(self, gt: GeoTable):
+        keep = _meta_cols(gt) + [c for c in self.cols if c in gt.df.columns]
+        return gt.with_df(gt.df.select(*dict.fromkeys(keep))), None
+
+    __call__ = apply
+
+
+@dataclass
+class Reject:
+    """Drop `cols` (geometry/row-id columns are never dropped)."""
+
+    cols: Sequence[str]
+
+    def apply(self, gt: GeoTable):
+        protected = set(_meta_cols(gt))
+        drop = [c for c in self.cols if c in gt.df.columns and c not in protected]
+        return gt.with_df(gt.df.drop(*drop)), None
+
+    __call__ = apply
+
+
+@dataclass
+class Only:
+    """Keep only columns of one scitype ('continuous' | 'categorical') —
+    the reference's `Only(Continuous)` (src/droplocallowhigh.jl:37)."""
+
+    scitype: str = "continuous"
+
+    def apply(self, gt: GeoTable):
+        from ..core.aggregates import scitype_of
+
+        meta = set(_meta_cols(gt))
+        keep = [
+            f.name
+            for f in gt.df.schema.fields
+            if f.name in meta or scitype_of(f.dataType) == self.scitype
+        ]
+        return gt.with_df(gt.df.select(*keep)), None
+
+    __call__ = apply
+
+
+@dataclass
+class Filter:
+    """Row filter by a SQL predicate string or Column; REVERTIBLE — the
+    cache holds the rejected rows, and revert unions them back (the
+    reference's TableTransforms.Filter keeps rejected rows for revert)."""
+
+    predicate: object
+
+    def apply(self, gt: GeoTable):
+        pred = F.expr(self.predicate) if isinstance(self.predicate, str) else self.predicate
+        kept = gt.df.filter(pred)
+        dropped = gt.df.filter(~pred | pred.isNull())
+        return gt.with_df(kept), dropped
+
+    def revert(self, gt: GeoTable, cache):
+        return gt.with_df(gt.df.unionByName(cache))
+
+    __call__ = apply
+
+
+@dataclass
+class OneHot:
+    """One-hot encode one categorical column into 0/1 int columns
+    `{col}_{level}`, levels discovered and ordered deterministically
+    (reference src/maxposterior.jl:62 builds the same indicator matrix)."""
+
+    col: str
+    drop: bool = True
+
+    def apply(self, gt: GeoTable):
+        levels = sorted(
+            r[0] for r in gt.df.select(self.col).distinct().collect() if r[0] is not None
+        )
+        df = gt.df
+        for lv in levels:
+            df = df.withColumn(
+                f"{self.col}_{lv}", (F.col(self.col) == F.lit(lv)).cast("int")
+            )
+        if self.drop:
+            df = df.drop(self.col)
+        return gt.with_df(df), levels
+
+    __call__ = apply
+
+
+@dataclass
+class StdFeats:
+    """Standardize continuous columns to zero mean / unit variance — the
+    reference's `StdFeats` (src/clustering/slic.jl:64).  Two-pass: one agg
+    collects (mean, std) per column (tiny), then a vectorized subtract/
+    divide; cache holds the moments so revert restores the originals."""
+
+    cols: Optional[Sequence[str]] = None
+
+    def _target_cols(self, gt: GeoTable):
+        meta = set(_meta_cols(gt))
+        if self.cols is not None:
+            return [c for c in self.cols if c in gt.df.columns]
+        return [
+            f.name
+            for f in gt.df.schema.fields
+            if f.name not in meta and isinstance(f.dataType, (T.DoubleType, T.FloatType))
+        ]
+
+    def apply(self, gt: GeoTable):
+        cols = self._target_cols(gt)
+        if not cols:
+            return gt, {}
+        row = gt.df.agg(
+            *[F.avg(c).alias(f"m_{c}") for c in cols],
+            *[F.stddev_samp(c).alias(f"s_{c}") for c in cols],
+        ).first()
+        moments = {c: (row[f"m_{c}"], row[f"s_{c}"] or 1.0) for c in cols}
+        df = gt.df
+        for c, (m, s) in moments.items():
+            df = df.withColumn(c, (F.col(c) - F.lit(m)) / F.lit(s if s else 1.0))
+        return gt.with_df(df), moments
+
+    def revert(self, gt: GeoTable, cache):
+        df = gt.df
+        for c, (m, s) in cache.items():
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c) * F.lit(s) + F.lit(m))
+        return gt.with_df(df)
+
+    __call__ = apply

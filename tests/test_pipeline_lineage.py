@@ -155,3 +155,53 @@ def test_streaming_time_rollup(spark, tmp_path):
     g = {(r.b, r.event_type): (r.n, round(r.sum_value, 6)) for r in got.collect()}
     b = {(r.b, r.event_type): (r.n, round(r.sum_value, 6)) for r in batch.collect()}
     assert g == b
+
+
+def test_tabletransforms_vocabulary(spark):
+    # P12: Select/Reject/Only/Filter/OneHot/StdFeats as composable stages
+    import pytest as _pytest
+    from geostatstransforms_jl_spark.core.geotable import georef_points
+    from geostatstransforms_jl_spark.operators import (
+        Filter, OneHot, Only, Reject, Select, StdFeats,
+    )
+    from geostatstransforms_jl_spark.plans.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 5), float(i), f"c{i % 3}", i) for i in range(60)],
+        "row_id long, x double, y double, a double, cat string, n long",
+    )
+    gt = georef_points(df)
+
+    sel, _ = Select(["a", "cat"]).apply(gt)
+    assert set(sel.df.columns) == {"row_id", "x", "y", "a", "cat"}
+    rej, _ = Reject(["cat", "x"]).apply(gt)  # x is geometry → protected
+    assert set(rej.df.columns) == {"row_id", "x", "y", "a", "n"}
+    only, _ = Only("continuous").apply(gt)
+    assert set(only.df.columns) == {"row_id", "x", "y", "a"}
+
+    oh, levels = OneHot("cat").apply(gt)
+    assert levels == ["c0", "c1", "c2"]
+    assert oh.df.select(F.sum("cat_c0")).first()[0] == 20
+
+    # Filter is revertible: dropped rows come back
+    filt = Filter("a < 30")
+    kept, dropped = filt.apply(gt)
+    assert kept.df.count() == 30 and dropped.count() == 30
+    back = filt.revert(kept, dropped)
+    assert back.df.count() == 60
+
+    # StdFeats: zero mean / unit variance, revert restores values
+    sf = StdFeats(["a"])
+    std, moments = sf.apply(gt)
+    m = std.df.agg(F.avg("a"), F.stddev_samp("a")).first()
+    assert abs(m[0]) < 1e-9 and abs(m[1] - 1.0) < 1e-9
+    rec = sf.revert(std, moments)
+    orig = {r.row_id: r.a for r in gt.df.collect()}
+    got = {r.row_id: r.a for r in rec.df.collect()}
+    for k in orig:
+        assert got[k] == _pytest.approx(orig[k], abs=1e-9)
+
+    # composes in a Pipeline with stacked revert
+    pipe = Pipeline([StdFeats(["a"]), Filter("a > -10")])
+    out, caches = pipe.run(gt)
+    assert out.df.count() == 60
