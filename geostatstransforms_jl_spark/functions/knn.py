@@ -156,8 +156,8 @@ def _adaptive_cell_grid(
     max_at = {int(r["_d"]): int(r["_m"]) for r in occ}
     for d in range(d_max, -1, -1):  # coarsest candidate first
         if max_at.get(d, 0) <= cap:
-            return C.CellGrid(x0, y0, x1, y1, fine_res - d), False
-    return grid_f, True
+            return C.CellGrid(x0, y0, x1, y1, fine_res - d), False, max_at.get(d, 0)
+    return grid_f, True, max_at.get(0, 0)
 
 
 def _hot_cells(sources_cells: DataFrame, threshold: int):
@@ -519,7 +519,7 @@ def knn_join(
     # _adaptive_cell_grid).  cap bounds ring-1 candidates per target at
     # 9·cap while staying coarse enough to settle most targets in round 1.
     cap = max(16, 4 * k)
-    grid, overfull = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
+    grid, overfull, occ_max = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
     if overfull:
         # mass on coincident coordinates no grid can split.  Exact
         # compression: among sources sharing one exact coordinate, only the
@@ -534,8 +534,12 @@ def knn_join(
         # re-pick the grid on the COMPRESSED sources: the coincident pile no
         # longer dominates the histogram, so the loop starts at a sane
         # resolution instead of crawling down from MAX_RES level by level
-        grid, _ = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
+        grid, _, occ_max = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
     diag = math.hypot(x1 - x0, y1 - y0)
+    # the adaptive resolution already bounds occupancy at the STARTING level;
+    # salting can only matter at coarser levels of the ladder (occupancy
+    # grows ×64/level) or in the overfull case — skip the per-join hot-cell
+    # histogram (a driver collect) whenever the bound rules it out
     thr = salt_threshold if (salt_threshold and n_sources > salt_threshold) else None
 
     import os as _os, time as _time
@@ -599,10 +603,14 @@ def knn_join(
         gridL = C.CellGrid(x0, y0, x1, y1, max(0, grid.res - d))
         sL = C.with_cell(s, gridL, x=sx, y=sy, out="_cell").persist()
         edge = gridL.min_cell_edge
+        # occupancy upper bound at this level: a level-d cell contains 4^d
+        # starting-level cells, each ≤ occ_max (exact when not overfull)
+        occ_bound = (occ_max if not overfull else n_sources) * (4 ** d)
+        thr_L = thr if (thr and occ_bound > thr) else None
 
         t0_ = _time.perf_counter()
         t_cells = C.kring_exploded(cur, gridL, 1, x=tx, y=ty, out="_cell")
-        best = _kbest(_salted_cell_join(t_cells, sL, thr)).persist()
+        best = _kbest(_salted_cell_join(t_cells, sL, thr_L)).persist()
 
         proven = best.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(edge))).drop(
             "_cnt", "_kth"
@@ -624,7 +632,7 @@ def knn_join(
         vb_cells = C.kring_exploded_var(verify_t, gridL, "_ring", x=tx, y=ty, out="_cell").drop(
             "_ring"
         )
-        bestB = _kbest(_salted_cell_join(vb_cells, sL, thr)).drop("_cnt", "_kth")
+        bestB = _kbest(_salted_cell_join(vb_cells, sL, thr_L)).drop("_cnt", "_kth")
         if t_payload:
             bestB = bestB.join(cur.select(tid, *t_payload), tid)
         if _dbg:
