@@ -682,3 +682,238 @@ def knn_join(
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=False)
     return out
+
+
+def _leaf_assignment(s: DataFrame, sx: str, sy: str, grids: dict, cap: int) -> DataFrame:
+    """Quadtree leaf per source, computed from ONE fine-resolution histogram.
+
+    A source's leaf is the COARSEST ladder level whose containing cell holds
+    ≤ cap sources — dense regions stop splitting late (fine leaves), sparse
+    regions early (coarse leaves).  Leaves partition space and every leaf is
+    occupancy-bounded, so a candidate join against leaf-keyed sources can
+    never concentrate O(m²) pairs in one task.
+
+    All heavy ops run on (cell, count) pairs, never payload rows; the only
+    full source pass is the final fine-cell join attaching `_leaf_r`/`_leaf_cell`.
+    """
+    levels = sorted(grids)  # ascending res: coarse → fine
+    fine = max(levels)
+    gf = grids[fine]
+    fine_cell = gf.cell(F.col(sx), F.col(sy))
+    hist = s.groupBy(fine_cell.alias("_c")).count()
+
+    ix = F.shiftrightunsigned("_c", 30)
+    iy = F.col("_c").bitwiseAND(F.lit((1 << 30) - 1))
+
+    def anc(r):
+        d = fine - r
+        pw = F.lit(float(2 ** d))
+        return F.shiftleft(F.floor(ix / pw).cast("long"), 30) + F.floor(iy / pw).cast("long")
+
+    lv = hist.select(
+        "_c", "count", F.explode(F.array(*[F.lit(r) for r in levels])).alias("_r")
+    ).withColumn(
+        "_anc",
+        F.coalesce(
+            *[F.when(F.col("_r") == r, anc(r)) for r in levels]
+        ),
+    )
+    occ = lv.groupBy("_r", "_anc").agg(F.sum("count").alias("_occ"))
+    # coarsest admissible level per fine cell (min res among occ ≤ cap)
+    leaf = (
+        lv.join(occ, ["_r", "_anc"])
+        .filter(F.col("_occ") <= cap)
+        .groupBy("_c")
+        .agg(F.min(F.struct(F.col("_r").alias("r"), F.col("_anc").alias("c"))).alias("_l"))
+        .select(
+            F.col("_c"),
+            F.col("_l.r").alias("_leaf_r"),
+            F.col("_l.c").alias("_leaf_cell"),
+        )
+    )
+    return s.withColumn("_c", fine_cell).join(leaf, "_c").drop("_c")
+
+
+def knn_join_multires(
+    targets: DataFrame,
+    sources: DataFrame,
+    k: int,
+    *,
+    t_id: str = "row_id",
+    s_id: str = "row_id",
+    t_coords: Tuple[str, str] = ("x", "y"),
+    s_coords: Tuple[str, str] = ("x", "y"),
+    t_carry: Sequence[str] = (),
+    s_carry: Sequence[str] = (),
+    exclude_same_id: bool = False,
+    max_radius: Optional[float] = None,
+    rows_per_cell: Optional[int] = None,
+    broadcast_threshold: int = 20_000,
+    finish_threshold: int = 2_000,
+    level_step: int = 3,
+) -> DataFrame:
+    """Exact kNN join in TWO candidate passes instead of a driver-looped
+    level ladder (same result contract as :func:`knn_join`).
+
+    1.  **Multi-resolution candidate pass.**  Sources key once at their
+        quadtree LEAF (`_leaf_assignment`); targets explode a ring-1 at
+        every ladder level; one equi-join on (level, cell) yields ≤ 9·L·cap
+        candidates per target with zero driver round-trips.  Dense regions
+        contribute at fine levels, sparse fringes at coarse levels — the
+        same adaptivity the ladder reaches over several driver rounds.
+    2.  **Verify pass.**  Using the pass-1 k-th distance d₁ as an upper
+        bound, each unproven target re-searches at its own COARSEST level
+        whose ring count for d₁ is ≤ R_MAX — one equi-join against sources
+        keyed at every level (map-side explode), exactly covering the d₁
+        ball.  Proven targets (d₁ ≤ finest cell edge) skip it.
+    3.  Targets with < k candidates after pass 1 (near-empty neighborhoods
+        at every scale — needs fewer than k sources in the 3×3 of the
+        coarsest level) finish with the bounded streaming scan.
+
+    Driver actions: bounds+counts, the occupancy evaluation, and one
+    starved count — independent of data shape.
+    """
+    t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
+    s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
+    tx, ty = (f"t_{c}" for c in t_coords)
+    sx, sy = (f"s_{c}" for c in s_coords)
+    tid, sid = f"t_{t_id}", f"s_{s_id}"
+
+    x0, y0, x1, y1, n_targets, n_sources = _union_bounds_and_counts(t, (tx, ty), s, (sx, sy))
+    if n_sources == 0:
+        raise ValueError("knn_join: empty source side")
+    if n_sources <= broadcast_threshold:
+        return _broadcast_knn(t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius)
+    if n_targets <= finish_threshold:
+        return _bcast_targets_scan(
+            t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
+        )
+
+    base_res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k))
+    cap = max(16, 4 * k)
+    grid, overfull, occ_max = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
+    if overfull:
+        w_coin = Window.partitionBy(sx, sy).orderBy(sid)
+        s = (
+            s.withColumn("_rn", F.row_number().over(w_coin))
+            .filter(F.col("_rn") <= k + 1)
+            .drop("_rn")
+        )
+        grid, _, occ_max = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
+
+    # ladder: finest (occupancy-bounded) res down to ~0, step ×2^level_step
+    levels = []
+    r = grid.res
+    while r > 0:
+        levels.append(r)
+        r -= level_step
+    levels.append(0)
+    grids = {r: C.CellGrid(x0, y0, x1, y1, r) for r in levels}
+    s = s.persist()
+    s_leaf = _leaf_assignment(s, sx, sy, grids, cap).persist()
+
+    w = Window.partitionBy(tid).orderBy(F.col("dist"), F.col(sid))
+
+    def _kbest(cand: DataFrame, with_stats: bool) -> DataFrame:
+        cand = cand.withColumn("dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy)))
+        if max_radius is not None:
+            cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
+        if exclude_same_id:
+            cand = cand.filter(F.col(tid) != F.col(sid))
+        if k == 1:
+            other = [
+                c for c in cand.columns
+                if c not in (tid, "dist", sid, "_r", "_cell", "_leaf_r", "_leaf_cell")
+            ]
+            packed = cand.groupBy(tid).agg(
+                F.min(F.struct(F.col("dist"), F.col(sid), *[F.col(c) for c in other])).alias("_b"),
+                F.count("*").alias("_cnt"),
+            )
+            out = packed.select(
+                tid,
+                F.col(f"_b.{sid}").alias(sid),
+                F.col("_b.dist").alias("dist"),
+                *[F.col(f"_b.{c}").alias(c) for c in other],
+                F.lit(1).alias("rank"),
+                F.col("_cnt"),
+                F.col("_b.dist").alias("_kth"),
+            )
+            return out if with_stats else out.drop("_cnt", "_kth")
+        ranked = cand.withColumn("rank", F.row_number().over(w)).withColumn(
+            "_cnt", F.count("*").over(Window.partitionBy(tid))
+        )
+        topk = ranked.filter(F.col("rank") <= k).drop("_r", "_cell", "_leaf_r", "_leaf_cell")
+        out = topk.withColumn("_kth", F.max("dist").over(Window.partitionBy(tid)))
+        return out if with_stats else out.drop("_cnt", "_kth")
+
+    # ---- pass 1: one candidate join across every ladder level -----------
+    lvl_arr = F.array(*[F.lit(r) for r in levels])
+    tl = t.withColumn("_r", F.explode(lvl_arr))
+    ring1 = None
+    for r in levels:
+        piece = C.kring_exploded(
+            tl.filter(F.col("_r") == r), grids[r], 1, x=tx, y=ty, out="_cell"
+        )
+        ring1 = piece if ring1 is None else ring1.unionByName(piece)
+    cand1 = ring1.join(
+        s_leaf,
+        (F.col("_r") == F.col("_leaf_r")) & (F.col("_cell") == F.col("_leaf_cell")),
+    )
+    best = _kbest(cand1, with_stats=True).persist()
+
+    guaranteed = grids[max(levels)].min_cell_edge
+    proven = best.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(guaranteed))).drop(
+        "_cnt", "_kth"
+    )
+
+    head = best.filter(F.col("rank") == 1).select(tid, tx, ty, "_kth", "_cnt")
+
+    # ---- pass 2: verify each unproven target at its own level -----------
+    R_MAX = 6
+    # coarsest level whose ring count for the target's d1 ball is ≤ R_MAX
+    lvl_expr = None
+    ring_expr = None
+    for r in sorted(levels):  # coarse → fine; keep the finest admissible
+        need = F.ceil(F.col("_kth") / F.lit(grids[r].min_cell_edge)).cast("int") + F.lit(1)
+        cond = need <= R_MAX
+        lvl_expr = F.when(cond, F.lit(r)) if lvl_expr is None else F.when(cond, F.lit(r)).otherwise(lvl_expr)
+        ring_expr = F.when(cond, need) if ring_expr is None else F.when(cond, need).otherwise(ring_expr)
+    unproven = head.filter((F.col("_cnt") >= k) & (F.col("_kth") > F.lit(guaranteed)))
+    verify_t = unproven.select(
+        tid, tx, ty, lvl_expr.alias("_vr"), ring_expr.alias("_ring")
+    )
+    vparts = None
+    for r in levels:
+        sub = verify_t.filter(F.col("_vr") == r)
+        pc = C.kring_exploded_var(sub, grids[r], "_ring", x=tx, y=ty, out="_cell").drop(
+            "_ring"
+        )
+        vparts = pc if vparts is None else vparts.unionByName(pc)
+    # sources keyed at every level, map-side explode (projection only)
+    s_all = s.withColumn("_vr", F.explode(lvl_arr))
+    cellv = None
+    for r in levels:
+        e = grids[r].cell(F.col(sx), F.col(sy))
+        cellv = F.when(F.col("_vr") == r, e) if cellv is None else F.when(F.col("_vr") == r, e).otherwise(cellv)
+    s_all = s_all.withColumn("_cell", cellv)
+    cand2 = vparts.join(s_all, ["_vr", "_cell"]).drop("_vr")
+    bestB = _kbest(cand2, with_stats=False)
+    t_payload = [c for c in t.columns if c not in (tid, tx, ty)]
+    if t_payload:
+        bestB = bestB.join(t.select(tid, *t_payload), tid)
+
+    # ---- pass 3: starved remainder (scan) -------------------------------
+    resolved_ids = head.filter(F.col("_cnt") >= k).select(tid)
+    starved = t.join(resolved_ids, tid, "left_anti")
+    n_starved = starved.count()  # the one driver action of the core path
+    pieces = [proven, bestB]
+    if n_starved > 0:
+        pieces.append(
+            _bcast_targets_scan(
+                starved, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
+            )
+        )
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.unionByName(p_, allowMissingColumns=False)
+    return out

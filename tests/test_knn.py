@@ -74,3 +74,37 @@ def test_salting_preserves_results(spark, pts):
     plain = knn_join(pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=None)
     salted = knn_join(pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=50)
     assert _pairs(plain) == _pairs(salted)
+
+
+def test_multires_matches_ladder(spark):
+    """knn_join_multires (two-pass quadtree-leaf strategy) must equal the
+    level-ladder knn_join row-for-row, including tie-breaks, on skewed data."""
+    import numpy as np
+    import pandas as pd
+    from geostatstransforms_jl_spark.functions.knn import knn_join, knn_join_multires
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    x = np.where(rng.random(n) < 0.5, rng.random(n) * 0.001, rng.random(n) * 100)
+    y = np.where(rng.random(n) < 0.5, rng.random(n) * 0.001, rng.random(n) * 100)
+    x[:100] = 42.0
+    y[:100] = 17.0
+    pdf = pd.DataFrame({"row_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    df = spark.createDataFrame(pdf).repartition(8).persist()
+    df.count()
+    for k in (1, 3):
+        a = (
+            knn_join(df, df, k=k, exclude_same_id=True, broadcast_threshold=0,
+                     salt_threshold=5000)
+            .select("t_row_id", "s_row_id", "rank")
+            .toPandas()
+            .sort_values(["t_row_id", "rank"], ignore_index=True)
+        )
+        b = (
+            knn_join_multires(df, df, k=k, exclude_same_id=True, broadcast_threshold=0)
+            .select("t_row_id", "s_row_id", "rank")
+            .toPandas()
+            .sort_values(["t_row_id", "rank"], ignore_index=True)
+        )
+        assert a.equals(b), f"k={k}: multires != ladder"
+    df.unpersist()
