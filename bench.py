@@ -96,6 +96,11 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
         ((F.col("phash") % 32768) / 32768.0).alias("y"),
         F.col("phash"),
     ).persist()
+    # materialize the (small) anchor table, then free the image bytes —
+    # keeping multi-GB binary payloads cached through the join stages
+    # evicts shuffle blocks and forces spills at higher parallelism
+    pts.count()
+    imgs.unpersist()
     t = time.perf_counter()
     nn = knn_join(
         pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=20_000
