@@ -520,8 +520,17 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.functions.timeseries import sessionize
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # session bounds as epoch longs: events.parquet carries timestamp[us]
+    # without timezone, which Spark reads as TIMESTAMP_NTZ and DuckDB as
+    # TIMESTAMP — values compare equal but serialize differently, so the
+    # driver's value-hash diverges on raw timestamps.  Epoch seconds are
+    # representation-free on both sides.
     return sessionize(ev, 1800).select(
-        "user_id", "session_seq", "n_events", "session_start", "session_end"
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.col("session_start").cast("timestamp").cast("long").alias("session_start"),
+        F.col("session_end").cast("timestamp").cast("long").alias("session_end"),
     )
 
 
@@ -953,7 +962,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": """
             WITH g AS (
               SELECT user_id, ts,
-                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                     -- floor to whole seconds first: Spark's gap is computed
+                     -- on truncated epoch longs
+                     CASE WHEN floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) > 1800
                             OR LAG(ts) OVER w IS NULL
                           THEN 1 ELSE 0 END AS new_s
               FROM events
@@ -967,8 +978,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_seq,
                    COUNT(*) AS n_events,
-                   MIN(ts) AS session_start,
-                   MAX(ts) AS session_end
+                   -- floor, not CAST-rounding: Spark's timestamp→long cast
+                   -- truncates fractional seconds
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end
             FROM s GROUP BY 1, 2
         """,
     }

@@ -102,8 +102,33 @@ def gsc_df(
     labels = gsc_labels(X, Z, k, m, sigma, tol, maxiter, adjacency=adj)
     lab = pd.DataFrame({row_id: pdf[row_id], "label": labels})
     spark = df.sparkSession
-    out = df.join(spark.createDataFrame(lab), row_id, "left")
-    return out
+    if n_total <= nmax:
+        return df.join(spark.createDataFrame(lab), row_id, "left")
+
+    # propagate to unsampled rows: 1-NN in FEATURE space vs the labeled
+    # sample (same hybrid pattern as GHC, ghc.py:117-134; reference GSC has
+    # no nmax, so rows past the bound must still get labels rather than NULL)
+    Zs = Z.copy()
+    labs_np = labels.copy()
+    samp_lab = dict(zip(pdf[row_id].tolist(), labels.tolist()))
+
+    def propagate(batches):
+        for b in batches:
+            zb = b[feats].to_numpy(dtype=float)
+            d2 = ((zb[:, None, :] - Zs[None, :, :]) ** 2).sum(-1)
+            nn = d2.argmin(axis=1)
+            out = pd.DataFrame({row_id: b[row_id], "label": labs_np[nn]})
+            mask = b[row_id].isin(samp_lab).to_numpy()
+            if mask.any():
+                out.loc[mask, "label"] = [
+                    samp_lab[r] for r in b[row_id][mask]
+                ]
+            yield out
+
+    lab_sdf = sdf.select(row_id, *feats).mapInPandas(
+        propagate, f"{row_id} long, label long"
+    )
+    return df.join(lab_sdf, row_id, "left")
 
 
 @dataclass

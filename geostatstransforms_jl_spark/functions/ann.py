@@ -68,22 +68,114 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 2048,
+    n_blocks: Optional[int] = None,
 ) -> DataFrame:
     """(a, b, cosine) for every unordered pair with cosine ≥ threshold —
-    the embedding-cosine near-duplicate primitive.  Exact O(n²/2) self-join
-    with dot products JVM-side (`zip_with`/`aggregate`); pair space halved by
-    the a<b predicate so no post-hoc dedup.  At scale, gate the candidate set
-    with `with_lsh_buckets` first and feed the bucket-joined pairs here."""
-    lhs = df.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("av")
-    ).withColumn("an", _norm_col("av"))
-    rhs = df.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("bv")
-    ).withColumn("bn", _norm_col("bv"))
-    cos = _dot("av", "bv") / (F.col("an") * F.col("bn"))
+    the embedding-cosine near-duplicate primitive.  EXACT, but blocked:
+
+    A naive `join(a < b)` plans as a BroadcastNestedLoopJoin — a single
+    unsplittable O(n²) task.  Instead every vector hashes to one of B blocks
+    and explodes to the B unordered block-pairs it participates in; one
+    `groupBy(ba, bb).applyInPandas` computes each block-pair's full cosine
+    submatrix with one float64 GEMM and keeps pairs ≥ threshold (a < b).
+    Exact coverage (pair (u,v) appears in exactly group
+    (min(blk_u,blk_v), max(...))), B(B+1)/2 evenly-sized tasks, shuffle
+    volume n·B = O(n^1.5) — the standard exact all-pairs layout.  No join in
+    the plan at all.  For true 100-TB scale exact all-pairs is inherently
+    O(n²) compute; the approximate path is `cosine_pairs_lsh`.
+    """
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // max(1, rows_per_block)))
+    B = int(n_blocks)
+    t = float(threshold)
+
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(B)).cast("int"))
+    pairs = v.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("_other"),
+    ).select(
+        "_id",
+        "_v",
+        "_blk",
+        F.least("_blk", "_other").alias("_ba"),
+        F.greatest("_blk", "_other").alias("_bb"),
+    )
+
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64")})
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        a_side = pdf[pdf["_blk"] == ba]
+        if len(a_side) == 0 or (ba != bb and (pdf["_blk"] == bb).sum() == 0):
+            return empty
+        ids_a = a_side["_id"].to_numpy()
+        A = np.stack(a_side["_v"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        if ba == bb:
+            C = A @ A.T
+            iu, ju = np.triu_indices(len(ids_a), k=1)
+            cos = C[iu, ju]
+            aa, bb_ = ids_a[iu], ids_a[ju]
+        else:
+            b_side = pdf[pdf["_blk"] == bb]
+            ids_b = b_side["_id"].to_numpy()
+            Bm = np.stack(b_side["_v"].to_numpy()).astype(np.float64)
+            Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+            C = A @ Bm.T
+            ii, jj = np.nonzero(C >= t)
+            cos = C[ii, jj]
+            aa, bb_ = ids_a[ii], ids_b[jj]
+        keep = cos >= t
+        aa, bb_, cos = aa[keep], bb_[keep], cos[keep]
+        lo = np.minimum(aa, bb_)
+        hi = np.maximum(aa, bb_)
+        return pd.DataFrame({"a": lo, "b": hi, "cosine": cos})
+
     return (
-        lhs.join(rhs, F.col("a") < F.col("b"))
-        .withColumn("cosine", cos)
+        pairs.groupBy("_ba", "_bb")
+        .applyInPandas(run, "a long, b long, cosine double")
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_tables: int = 12,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate near-dup pairs: random-hyperplane LSH bucket self-join for
+    candidates, exact cosine verify.  Recall < 1 by construction — a pair at
+    cosine t collides per table with prob (1 − θ/π)^n_bits, θ = arccos(t);
+    size (n_tables, n_bits) for the target threshold (low thresholds need few
+    bits / many tables).  The exact `cosine_pairs` is the oracle-verified
+    baseline; this is the 100-TB path where O(n^1.5) shuffle is too much."""
+    b = with_lsh_buckets(df, dim, n_tables, n_bits, id_col, vec_col, seed)
+    lhs = b.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("av"), "table", "bucket"
+    )
+    rhs = b.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("bv"), "table", "bucket"
+    )
+    cand = (
+        lhs.join(rhs, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    cos = _dot("av", "bv") / (_norm_col("av") * _norm_col("bv"))
+    return (
+        cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("a", "b", "cosine")
     )
@@ -170,7 +262,18 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF: coarse k-means on a bounded sample (driver), inverted lists by
     nearest centroid, queries probe nprobe lists, exact re-rank inside."""
-    samp = corpus.select(vec_col).limit(train_sample).toPandas()
+    # deterministic unbiased sample: order by seeded hash, take n — NOT
+    # limit(n), which takes the first rows in partition order and trains
+    # centroids on whatever file happened to be scanned first.
+    samp = (
+        corpus.select(
+            vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(train_sample)
+        .drop("_h")
+        .toPandas()
+    )
     X = np.stack(samp[vec_col].to_numpy()).astype(float)
     _, C = kmeans(X, n_centroids, maxiter=20, seed=seed)
 

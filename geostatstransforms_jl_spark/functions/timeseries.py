@@ -46,12 +46,19 @@ def sessionize(
     per-user window — two window passes on the same (user, ts) sort, which
     Catalyst executes with a single exchange + sort."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
+    # ROWS frame, not the default RANGE frame: with duplicate (user, ts)
+    # events RANGE makes peers share the running sum, so a session-start row
+    # and its tie would absorb each other's _new — session ids would diverge
+    # from a ROWS-framed oracle and be tie-order nondeterministic.  Ties have
+    # gap 0 ≤ gap_seconds, so with ROWS the boundary placement is
+    # deterministic regardless of tie order.
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # TIMESTAMP_NTZ has no direct long cast; epoch seconds via timestamp
     epoch = F.col(ts_col).cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
     new_s = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     with_id = df.withColumn("_new", new_s).withColumn(
-        "session_seq", F.sum("_new").over(w)
+        "session_seq", F.sum("_new").over(w_rows)
     )
     return (
         with_id.groupBy(user_col, "session_seq")

@@ -33,6 +33,7 @@ immutability, which hold exactly.
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
@@ -95,8 +96,12 @@ def _tile_runner(df, run_tile, out_schema, index_cols, tile_col, keep_cols):
 
 
 def _tile_seed(pdf, tile_col, seed):
+    # zlib.crc32, not Python hash(): hash() of a str is PYTHONHASHSEED-
+    # dependent, so seeded sweeps (P14) would differ across runs/executors
+    # unless the env pins the hash seed.  crc32 is stable everywhere.
     if tile_col:
-        return (hash(str(pdf[tile_col].iloc[0])) ^ seed) & 0x7FFFFFFF
+        tid = str(pdf[tile_col].iloc[0]).encode("utf-8")
+        return (zlib.crc32(tid) ^ seed) & 0x7FFFFFFF
     return seed
 
 

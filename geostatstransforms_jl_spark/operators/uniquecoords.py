@@ -54,20 +54,39 @@ def unique_coords_df(
     ov = dict(overrides or {})
     if dict_encode:
         dtypes = {f.name: f.dataType for f in df.schema.fields}
+        cands = []
         for c in value_cols:
             spec = ov.get(c, "first" if not isinstance(dtypes[c], (T.DoubleType, T.FloatType, T.DecimalType)) else "mean")
-            if not isinstance(dtypes[c], T.StringType) or spec not in ("first", "last"):
-                continue
-            vals = [r[0] for r in df.select(c).distinct().limit(MAX_DICT + 1).collect()]
-            if len(vals) > MAX_DICT:
-                continue
-            vals = sorted(v for v in vals if v is not None)
-            code = F.map_from_arrays(
-                F.array(*[F.lit(v) for v in vals]),
-                F.array(*[F.lit(i) for i in range(len(vals))]),
-            )
-            df = df.withColumn(c, F.element_at(code, F.col(c)))
-            decode[c] = F.array(*[F.lit(v) for v in vals])
+            if isinstance(dtypes[c], T.StringType) and spec in ("first", "last"):
+                cands.append(c)
+        if cands:
+            # Two scans total, regardless of string-column count (a
+            # per-column distinct().collect() would be one full scan per
+            # column before the real job — lethal at 100 TB):
+            #   1. one agg of approx_count_distinct over all candidates
+            #      (tiny single-row output) to screen out high-cardinality
+            #      columns before anything is collected to the driver;
+            #   2. one agg of sort_array(collect_set(...)) for the survivors.
+            acd = df.agg(
+                *[F.approx_count_distinct(c).alias(c) for c in cands]
+            ).first()
+            # ~2% approximation error on HLL; keep headroom, then verify the
+            # exact size after the collect_set and drop any that slipped by.
+            cands = [c for c in cands if acd[c] <= int(MAX_DICT * 0.95)]
+        if cands:
+            sets = df.agg(
+                *[F.sort_array(F.collect_set(c)).alias(c) for c in cands]
+            ).first()
+            for c in cands:
+                vals = list(sets[c])
+                if len(vals) > MAX_DICT:
+                    continue
+                code = F.map_from_arrays(
+                    F.array(*[F.lit(v) for v in vals]),
+                    F.array(*[F.lit(i) for i in range(len(vals))]),
+                )
+                df = df.withColumn(c, F.element_at(code, F.col(c)))
+                decode[c] = F.array(*[F.lit(v) for v in vals])
 
     aggs, pandas_cols = resolve_aggs(df, value_cols, ov, order_col=row_id)
     exprs = {row_id: F.min(row_id).alias(row_id), **aggs}

@@ -105,6 +105,23 @@ def test_gsc_cluster_count(spark):
     assert labs == set(range(1, 11))
 
 
+def test_gsc_propagates_past_nmax(spark):
+    # n=400 > nmax=100: every row must still get a label (1-NN feature-space
+    # propagation from the bounded sample, same hybrid as GHC) — no NULLs
+    from geostatstransforms_jl_spark.clustering.gsc import gsc_df
+
+    df = _grid_df(spark, 20, 20, lambda i, j: 10 * np.sin(i / 10) + j, "Z")
+    df = df.withColumn("row_id", (df.i * 20 + df.j).cast("long")) \
+           .withColumn("x", df.i.cast("double")) \
+           .withColumn("y", df.j.cast("double"))
+    out = gsc_df(df, k=4, m=2.0, nmax=100, feature_cols=["Z"],
+                 index_cols=("i", "j"))
+    rows = out.collect()
+    assert len(rows) == 400
+    assert all(r.label is not None for r in rows)
+    assert {r.label for r in rows} <= set(range(1, 5))
+
+
 # ---------------- sequential filters ----------------
 
 
