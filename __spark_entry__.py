@@ -269,7 +269,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.textops import simhash_64, simhash_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(simhash_64(docs), max_hamming=10).select("a", "b", "hamming")
+    # max_hamming=3 → 4 bands of 16 bits: the pigeonhole recall guarantee
+    # holds (bands = max_hamming + 1) AND buckets stay wide enough (2^16)
+    # that the band self-join doesn't densify at scale.  Larger radii force
+    # proportionally narrower buckets — supported but not the default.
+    return simhash_pairs(simhash_64(docs), max_hamming=3).select("a", "b", "hamming")
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

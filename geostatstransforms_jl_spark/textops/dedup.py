@@ -113,55 +113,80 @@ def minhash_dedup(
 
 
 def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document — Arrow-batched pandas pass (the per-bit
-    majority needs 64 accumulators; one numpy matmul per batch beats 64
-    Catalyst aggregates)."""
+    """64-bit SimHash per document — fully JVM-side: explode tokens, hash with
+    `xxhash64`, per-bit majority as 64 conditional long sums in ONE hash
+    aggregate (map-side combine applies, so the shuffle carries 64 longs per
+    doc, not per token).  No Python in the path — the previous per-row,
+    per-character FNV loop was the hot-path bottleneck on a training corpus.
 
-    # python hash() is salted per process — a stable FNV-1a keeps signatures
-    # deterministic across executors and runs
-    def run_stable(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    Token-less documents (empty/whitespace text) get signature 0, via
+    `explode_outer` + a zero vote for the null/empty token."""
+    tok = F.explode_outer(words(F.col(text_col))).alias("tok")
+    toks = df.select(F.col(id_col), tok)
+    h = F.xxhash64("tok")
 
-        def fnv(t: str) -> int:
-            h = 0xCBF29CE484222325
-            for ch in t.encode():
-                h ^= ch
-                h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            return h
+    def vote(i: int):
+        return (
+            F.when(F.col("tok").isNull() | (F.col("tok") == ""), 0)
+            .when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        )
 
-        for pdf in batches:
-            out_ids, out_sigs = [], []
-            for r in pdf.itertuples(index=False):
-                toks = str(r.text).lower().split()
-                if not toks:
-                    out_ids.append(r.doc_id)
-                    out_sigs.append(0)
-                    continue
-                hs = np.array([np.uint64(fnv(t)) for t in toks], dtype=np.uint64)
-                bits = ((hs[:, None] & bitmask[None, :]) != 0).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sig = int(((votes > 0).astype(np.uint64) * bitmask).sum())
-                out_ids.append(r.doc_id)
-                out_sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame({id_col: out_ids, "simhash": out_sigs})
+    agged = toks.groupBy(id_col).agg(
+        *[F.sum(vote(i)).alias(f"v{i}") for i in range(64)]
+    )
+    # assemble the signed 64-bit signature; shiftleft(1, 63) is MIN_LONG and
+    # adding the remaining non-negative bit terms stays in range, so the sum
+    # never overflows even under ANSI mode
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return agged.select(id_col, sig.alias("simhash"))
 
-    return df.select(id_col, text_col).mapInPandas(run_stable, f"{id_col} long, simhash long")
+
+def _band_layout(bands: int):
+    """Split the 64 signature bits into `bands` contiguous chunks, widths as
+    even as possible: (offset, width) per band."""
+    base, extra = divmod(64, bands)
+    out, off = [], 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
 
 
 def simhash_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = None
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ max_hamming via banded buckets
-    (pigeonhole: ≤3 differing bits over 4 16-bit bands ⇒ one band equal)."""
-    width = 64 // bands
+    """Near-dup pairs by Hamming distance ≤ max_hamming via banded buckets.
+
+    Pigeonhole guarantee: d differing bits spread over bands > d contiguous
+    chunks leave at least one chunk untouched, so every qualifying pair
+    collides in some band — 100% recall REQUIRES bands ≥ max_hamming + 1
+    (enforced; previously 4 fixed bands silently missed pairs with 4–10
+    differing bits).  Bands need not divide 64: chunks are sized as evenly
+    as possible."""
+    if bands is None:
+        bands = max_hamming + 1
+    assert bands >= max_hamming + 1, (
+        f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}: "
+        "pigeonhole needs bands >= max_hamming + 1"
+    )
+    assert 1 <= bands <= 64
+    layout = _band_layout(bands)
     b = sigs.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"),
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bucket"),
             )
-            for i in range(bands)
+            for i, (off, w) in enumerate(layout)
         ])).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     l = b.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "bucket")

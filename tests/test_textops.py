@@ -64,6 +64,46 @@ def test_simhash(spark, docs):
     assert (0, 1) in got
 
 
+def test_simhash_banding_rejects_lossy_config(spark, docs):
+    # 4 bands can only pigeonhole-guarantee Hamming ≤ 3 — asking for 10 with
+    # 4 bands silently missed pairs before; now it refuses
+    import pytest as _pt
+
+    sigs = simhash_64(docs)
+    with _pt.raises(AssertionError):
+        simhash_pairs(sigs, max_hamming=10, bands=4)
+
+
+def test_simhash_recall_vs_bruteforce(spark):
+    """Differential oracle: banded simhash_pairs must find EXACTLY the pairs
+    a brute-force Hamming scan finds (100% recall from the pigeonhole layout,
+    100% precision from the post-join hamming filter) — on the real 500-doc
+    testdata table, at two radii including one that needs uneven bands."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = simhash_64(docs).toPandas()
+    ids = sigs["doc_id"].to_numpy()
+    h = sigs["simhash"].to_numpy().astype(np.uint64)
+    xor = h[:, None] ^ h[None, :]
+    # vectorized popcount over the pair matrix: per-byte lookup table
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    v = xor.copy()
+    ham = np.zeros(xor.shape, dtype=np.int64)
+    for _ in range(8):
+        ham += lut[(v & np.uint64(0xFF)).astype(np.int64)]
+        v >>= np.uint64(8)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    for max_h in (3, 10):
+        want = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(iu[ham[iu, ju] <= max_h], ju[ham[iu, ju] <= max_h])
+        }
+        got_rows = simhash_pairs(
+            spark.createDataFrame(sigs), max_hamming=max_h
+        ).collect()
+        got = {(r.a, r.b) for r in got_rows}
+        assert got == want, f"max_hamming={max_h}: {len(got)} vs {len(want)}"
+
+
 def test_ngram_jaccard_exact(spark, docs):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
     got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
@@ -161,6 +201,54 @@ def test_lsh_topk_planted_recall(spark, emb):
     got = {r.q_id - 100_000: r.c_id for r in approx.filter(F.col("rank") == 1).collect()}
     hits = sum(1 for qid, cid in got.items() if qid == cid)
     assert hits >= 18, f"planted-neighbor recall {hits}/20"
+
+
+def test_cosine_pairs_blocked_exact(spark, emb):
+    """The hash-blocked GEMM all-pairs must equal a brute-force numpy scan —
+    including across several blocks (force small blocks so the block-pair
+    decomposition is actually exercised)."""
+    from geostatstransforms_jl_spark.functions.ann import cosine_pairs
+
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    t = 0.45
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(iu[sims[iu, ju] >= t], ju[sims[iu, ju] >= t])
+    }
+    out = cosine_pairs(emb, threshold=t, rows_per_block=64).collect()
+    got = {(r.a, r.b) for r in out}
+    assert got == want
+    by_pair = {(r.a, r.b): r.cosine for r in out}
+    for (i, j) in zip(iu, ju):
+        key = (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        if key in by_pair:
+            assert by_pair[key] == pytest.approx(sims[i, j], abs=1e-9)
+
+
+def test_cosine_pairs_lsh_recall(spark, emb):
+    """Approximate LSH pair gate: at a high threshold (true near-dups) the
+    bucketed candidates must recover nearly all exact pairs, and everything
+    it returns must be a true pair (exact verify step)."""
+    from geostatstransforms_jl_spark.functions.ann import (
+        cosine_pairs, cosine_pairs_lsh)
+
+    t = 0.9
+    exact = {(r.a, r.b) for r in cosine_pairs(emb, threshold=t).collect()}
+    approx = {
+        (r.a, r.b)
+        for r in cosine_pairs_lsh(
+            emb, threshold=t, dim=64, n_tables=12, n_bits=6
+        ).collect()
+    }
+    assert approx <= exact  # precision 1.0 by construction
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.2f} over {len(exact)} pairs"
 
 
 def test_ivf_topk_planted_recall(spark, emb):
