@@ -422,10 +422,18 @@ def _bcast_targets_scan(
             # batch-local top-k, then merge into the accumulator lazily
             kk_b = min(kk, nb)
             order = _topk_tiebreak(d_all, s_ids, kk_b)
+            # keep ONLY the batch rows some target selected (≤ n_t·k, not
+            # nb): retaining whole batches would accumulate the entire
+            # source partition in pandas memory — the opposite of the
+            # bounded-scan contract — and OOM when the ladder hands this
+            # path a large source table.  Remap indices to the slice.
+            used = np.unique(order)
+            inv = np.empty(nb, dtype=np.int64)
+            inv[used] = np.arange(len(used))
             acc_d.append(np.take_along_axis(d_all, order, axis=1))
-            acc_sidx.append(order + row_base)
-            src_rows.append(pdf.reset_index(drop=True))
-            row_base += nb
+            acc_sidx.append(inv[order] + row_base)
+            src_rows.append(pdf.iloc[used].reset_index(drop=True))
+            row_base += len(used)
 
         if not src_rows:
             return
@@ -595,6 +603,7 @@ def knn_join(
     # ---------------------------------------------------------------------
     t_payload = [c for c in t.columns if c not in (tid, tx, ty)]
     pieces = []
+    persisted = []
     cur = t
     n_cur = n_targets
     level_step = 3
@@ -602,6 +611,7 @@ def knn_join(
     while True:
         gridL = C.CellGrid(x0, y0, x1, y1, max(0, grid.res - d))
         sL = C.with_cell(s, gridL, x=sx, y=sy, out="_cell").persist()
+        persisted.append(sL)
         edge = gridL.min_cell_edge
         # occupancy upper bound at this level: a level-d cell contains 4^d
         # starting-level cells, each ≤ occ_max (exact when not overfull)
@@ -611,6 +621,7 @@ def knn_join(
         t0_ = _time.perf_counter()
         t_cells = C.kring_exploded(cur, gridL, 1, x=tx, y=ty, out="_cell")
         best = _kbest(_salted_cell_join(t_cells, sL, thr_L)).persist()
+        persisted.append(best)
 
         proven = best.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(edge))).drop(
             "_cnt", "_kth"
@@ -681,6 +692,14 @@ def knn_join(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=False)
+    # materialize once, then release every per-level cache: without this,
+    # cached sL/best blocks accumulate across levels AND across repeated
+    # knn_join calls in one session (the pieces lazily reference them, so
+    # they could not be unpersisted before the result is consumed).  The
+    # checkpoint also makes repeated downstream consumption cheap.
+    out = out.localCheckpoint(eager=True)
+    for p in persisted:
+        p.unpersist()
     return out
 
 
@@ -731,7 +750,21 @@ def _leaf_assignment(s: DataFrame, sx: str, sy: str, grids: dict, cap: int) -> D
             F.col("_l.c").alias("_leaf_cell"),
         )
     )
-    return s.withColumn("_c", fine_cell).join(leaf, "_c").drop("_c")
+    # LEFT join with finest-level fallback: a fine cell overfull at every
+    # ladder level (> cap near-coincident-but-distinct points inside one
+    # finest cell, possible when the post-compression grid is still
+    # overfull) has no admissible leaf row — an inner join would silently
+    # drop those sources from the candidate pass and an exact-contract
+    # target could miss a strictly nearer neighbor.  Such cells stay at the
+    # finest level: occupancy exceeds cap there (one hot-ish task), but
+    # exactness is preserved.
+    return (
+        s.withColumn("_c", fine_cell)
+        .join(leaf, "_c", "left")
+        .withColumn("_leaf_r", F.coalesce(F.col("_leaf_r"), F.lit(fine)))
+        .withColumn("_leaf_cell", F.coalesce(F.col("_leaf_cell"), F.col("_c")))
+        .drop("_c")
+    )
 
 
 def knn_join_multires(
@@ -811,6 +844,7 @@ def knn_join_multires(
     grids = {r: C.CellGrid(x0, y0, x1, y1, r) for r in levels}
     s = s.persist()
     s_leaf = _leaf_assignment(s, sx, sy, grids, cap).persist()
+    persisted = [s, s_leaf]
 
     w = Window.partitionBy(tid).orderBy(F.col("dist"), F.col(sid))
 
@@ -860,6 +894,7 @@ def knn_join_multires(
         (F.col("_r") == F.col("_leaf_r")) & (F.col("_cell") == F.col("_leaf_cell")),
     )
     best = _kbest(cand1, with_stats=True).persist()
+    persisted.append(best)
 
     guaranteed = grids[max(levels)].min_cell_edge
     proven = best.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(guaranteed))).drop(
@@ -903,7 +938,16 @@ def knn_join_multires(
         bestB = bestB.join(t.select(tid, *t_payload), tid)
 
     # ---- pass 3: starved remainder (scan) -------------------------------
-    resolved_ids = head.filter(F.col("_cnt") >= k).select(tid)
+    # a target counts as resolved only if it is proven OR has an admissible
+    # verify level: lvl_expr has no final otherwise, so when even res 0
+    # needs a ring > R_MAX (extreme bbox aspect ratios make _kth approach
+    # the diagonal while the res-0 cell edge is the SHORT extent) _vr is
+    # NULL — such targets match no verify branch and must fall through to
+    # the scan instead of silently vanishing (mirrors the ladder's
+    # ring_col <= R_MAX guard in its resolved_ids)
+    resolved_ids = head.filter(
+        (F.col("_cnt") >= k) & lvl_expr.isNotNull()
+    ).select(tid)
     starved = t.join(resolved_ids, tid, "left_anti")
     n_starved = starved.count()  # the one driver action of the core path
     pieces = [proven, bestB]
@@ -916,4 +960,8 @@ def knn_join_multires(
     out = pieces[0]
     for p_ in pieces[1:]:
         out = out.unionByName(p_, allowMissingColumns=False)
+    # materialize once, then release the caches (see knn_join)
+    out = out.localCheckpoint(eager=True)
+    for p_ in persisted:
+        p_.unpersist()
     return out

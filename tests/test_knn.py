@@ -76,6 +76,84 @@ def test_salting_preserves_results(spark, pts):
     assert _pairs(plain) == _pairs(salted)
 
 
+def test_multires_extreme_aspect_no_dropped_targets(spark):
+    """Regression: a bbox with aspect ratio ~1000:1 plus isolated targets
+    whose k-th candidate distance exceeds R_MAX rings even at res 0 used to
+    make the verify-level expression NULL — the targets matched no verify
+    branch yet were counted resolved, so they silently vanished from an
+    exact join.  They must fall through to the scan instead."""
+    import pandas as pd
+    from geostatstransforms_jl_spark.functions.knn import knn_join, knn_join_multires
+
+    rng = np.random.default_rng(5)
+    blob = np.column_stack([rng.random(24000), rng.random(24000)])  # [0,1]²
+    uni = np.column_stack([rng.random(1000) * 900, rng.random(1000)])
+    iso = np.array([[950.0 + 10 * i, 0.6] for i in range(5)])
+    xy = np.vstack([blob, uni, iso])
+    pdf = pd.DataFrame(
+        {"row_id": np.arange(len(xy), dtype=np.int64), "x": xy[:, 0], "y": xy[:, 1]}
+    )
+    df = spark.createDataFrame(pdf).repartition(8).persist()
+    df.count()
+    n = len(pdf)
+    out = knn_join_multires(df, df, k=3, exclude_same_id=True, broadcast_threshold=0)
+    got = (
+        out.select("t_row_id", "s_row_id", "rank")
+        .toPandas()
+        .sort_values(["t_row_id", "rank"], ignore_index=True)
+    )
+    assert got["t_row_id"].nunique() == n, "targets dropped"
+    ladder = (
+        knn_join(df, df, k=3, exclude_same_id=True, broadcast_threshold=0)
+        .select("t_row_id", "s_row_id", "rank")
+        .toPandas()
+        .sort_values(["t_row_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(ladder)
+    df.unpersist()
+
+
+def test_multires_overfull_finest_cell_keeps_sources(spark):
+    """Regression: > cap distinct-but-near-coincident sources inside one
+    finest-resolution cell have no admissible quadtree leaf; the old inner
+    join dropped them from the candidate pass, so nearby targets missed
+    strictly nearer neighbors.  They must be kept at the finest level."""
+    import pandas as pd
+    from geostatstransforms_jl_spark.functions.knn import knn_join, knn_join_multires
+
+    rng = np.random.default_rng(9)
+    uni = np.column_stack([rng.random(6000) * 100, rng.random(6000) * 100])
+    # 30 distinct points inside one MAX_RES cell (edge ≈ 100/2^30 ≈ 9e-8)
+    pile = np.column_stack(
+        [42.0 + np.arange(30) * 1e-9, np.full(30, 17.0)]
+    )
+    xy = np.vstack([uni, pile])
+    pdf = pd.DataFrame(
+        {"row_id": np.arange(len(xy), dtype=np.int64), "x": xy[:, 0], "y": xy[:, 1]}
+    )
+    df = spark.createDataFrame(pdf).repartition(8).persist()
+    df.count()
+    a = (
+        knn_join(df, df, k=3, exclude_same_id=True, broadcast_threshold=0)
+        .select("t_row_id", "s_row_id", "rank")
+        .toPandas()
+        .sort_values(["t_row_id", "rank"], ignore_index=True)
+    )
+    b = (
+        knn_join_multires(df, df, k=3, exclude_same_id=True, broadcast_threshold=0)
+        .select("t_row_id", "s_row_id", "rank")
+        .toPandas()
+        .sort_values(["t_row_id", "rank"], ignore_index=True)
+    )
+    assert a.equals(b)
+    # the pile's own neighbors must come from the pile (distances ~1e-9),
+    # not from the uniform background
+    pile_ids = set(range(6000, 6030))
+    pile_rows = b[b["t_row_id"].isin(pile_ids)]
+    assert set(pile_rows["s_row_id"]) <= pile_ids
+    df.unpersist()
+
+
 def test_multires_matches_ladder(spark):
     """knn_join_multires (two-pass quadtree-leaf strategy) must equal the
     level-ladder knn_join row-for-row, including tie-breaks, on skewed data."""
