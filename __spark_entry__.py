@@ -324,6 +324,32 @@ def q_image_potrace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "m", F.size("polys").alias("n_polys"))
 
 
+def q_potrace_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potrace involution (reference src/potrace.jl:133-136,
+    test/potrace.jl:14-21): raster → traced polygons → revert (= Rasterize
+    on the cached grid) must recover the ORIGINAL grid exactly; the oracle
+    is the input grid construction itself."""
+    from geostatstransforms_jl_spark.core.geotable import georef_grid
+    from geostatstransforms_jl_spark.core.grid import GridMeta
+    from geostatstransforms_jl_spark.operators import Potrace
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    g = (
+        li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("rid"),
+            (F.col("l_partkey") % 16).cast("int").alias("i"),
+            (F.col("l_suppkey") % 16).cast("int").alias("j"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .groupBy("i", "j")
+        .agg(F.min_by("flag", "rid").alias("flag"))
+    )
+    op = Potrace("flag")
+    traced, cache = op.apply(georef_grid(g, GridMeta(16, 16)))
+    back = op.revert(traced, cache)
+    return back.df.select("i", "j", "flag")
+
+
 def q_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-1 polynomial Detrend of supplier balances (reference
     src/detrend.jl:33-93): two-pass normal-equation fit, vectorized subtract."""
@@ -569,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_gradient": q_image_gradient,
         "image_potrace": q_image_potrace,
+        "potrace_roundtrip": q_potrace_roundtrip,
         "detrend": q_detrend,
         "nn_interpolate": q_nn_interpolate,
         "kriging_neighbors": q_kriging_neighbors,
@@ -928,6 +955,11 @@ def oracle_sql() -> dict[str, str]:
         "detrend_roundtrip": f"""
             WITH p AS ({_SUPP_PTS})
             SELECT row_id AS supp, ROUND(bal, 6) AS bal FROM p
+        """,
+        "potrace_roundtrip": """
+            SELECT (l_partkey % 16)::INT AS i, (l_suppkey % 16)::INT AS j,
+                   MIN_BY(l_returnflag, l_orderkey * 10 + l_linenumber) AS flag
+            FROM lineitem GROUP BY 1, 2
         """,
         "rasterize_polygons": """
             WITH r AS (

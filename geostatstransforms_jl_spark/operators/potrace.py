@@ -243,4 +243,29 @@ class Potrace:
 
         return GeoTable(out, GeomDomain(kind_col=self.mask_col, rings_col="polys"), row_id=gt.row_id), d.meta
 
+    def revert(self, gt: GeoTable, cache) -> GeoTable:
+        """`revert(Potrace) = Rasterize` on the cached grid
+        (src/potrace.jl:133-136): scatter every traced polygon back onto the
+        original grid meta; each cell is covered by exactly one color's
+        polygon (even-odd over outer+hole rings), so the original grid is
+        recovered exactly (reference test/potrace.jl:14-21)."""
+        from .rasterize import rasterize_df
+
+        meta = cache
+        df = gt.df
+        vals = [c for c in df.columns if c != "polys"]
+        # synthetic geometry id; NOT underscore-prefixed because pandas
+        # itertuples (used by coverage_cells_df) mangles such names
+        geoms = (
+            df.select(*vals, F.explode("polys").alias("rings"))
+            .withColumn("kind", F.lit("polygon"))
+            .withColumn("revertgid", F.monotonically_increasing_id())
+        )
+        out, _mask = rasterize_df(
+            geoms.select("revertgid", "kind", "rings", *vals),
+            meta,
+            row_id="revertgid",
+        )
+        return GeoTable(out, GridDomain(meta), row_id=gt.row_id)
+
     __call__ = apply

@@ -211,4 +211,36 @@ class Rasterize:
         out, mask = rasterize_df(gt.df, meta, self.overrides, gt.row_id)
         return GeoTable(out, GridDomain(meta), row_id=gt.row_id), mask
 
+    def revert(self, gt: GeoTable, cache: DataFrame) -> GeoTable:
+        """`revert(Rasterize) = Potrace(mask) ∘ Filter(mask > 0) ∘ Reject(mask)`
+        (src/rasterize.jl:114-130): join the cached last-writer mask onto the
+        raster, trace each surviving source index's region back into
+        polygons with its per-cell attributes aggregated, drop the uncovered
+        color 0, and recover the source index as row_id (the mask stores
+        `max(row_id)` per cell, and row ids are ≥ 1 by ingest contract)."""
+        from .potrace import potrace_df
+        from ..core.geotable import GeomDomain
+
+        d = gt.domain
+        assert isinstance(d, GridDomain)
+        ic, jc = d.index_cols
+        # grid rows carry no row_id; aggregation order ("first"/"last") uses
+        # the column-major linear cell index, matching the reference's
+        # LinearIndices traversal
+        df = gt.df.join(cache, list(d.index_cols)).withColumn(
+            "_lin", F.col(jc).cast("long") * d.meta.nx + F.col(ic)
+        )
+        traced = potrace_df(
+            df, "mask", d.meta, index_cols=d.index_cols,
+            tile_col=d.tile_col, row_id="_lin",
+        )
+        out = (
+            traced.filter(F.col("mask") > 0)
+            .withColumn(gt.row_id, F.col("mask").cast("long"))
+            .drop("mask")
+        )
+        return GeoTable(
+            out, GeomDomain(kind_col=gt.row_id, rings_col="polys"), row_id=gt.row_id
+        )
+
     __call__ = apply

@@ -250,6 +250,67 @@ def test_potrace_rasterize_roundtrip(spark):
             assert got[(i, j)] == mask[i, j], f"cell {(i, j)}"
 
 
+def test_potrace_revert_method(spark):
+    """Potrace.revert (= Rasterize on the cached grid, src/potrace.jl:133-136)
+    must recover the original grid exactly, including a held-out attribute
+    aggregated per color (reference test/potrace.jl:14-21)."""
+    meta = GridMeta(30, 30)
+    mask = np.zeros((30, 30), dtype=int)
+    mask[5:20, 8:25] = 1
+    mask[10:14, 12:18] = 0
+    mask[26:29, 2:6] = 1
+    rows = [(i, j, int(mask[i, j])) for i in range(30) for j in range(30)]
+    df = spark.createDataFrame(rows, "i int, j int, m int")
+    op = Potrace("m")
+    traced, cache = op.apply(georef_grid(df, meta))
+    back = op.revert(traced, cache)
+    got = {(r.i, r.j): r.m for r in back.df.collect()}
+    assert len(got) == 900
+    for i in range(30):
+        for j in range(30):
+            assert got[(i, j)] == mask[i, j], f"cell {(i, j)}"
+
+
+def _ring_area(ring):
+    s = 0.0
+    pts = [(p["x"], p["y"]) for p in ring]
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+        s += ax * by - bx * ay
+    return abs(s) / 2.0
+
+
+def test_rasterize_revert_method(spark):
+    """Rasterize.revert (= Potrace∘Filter∘Reject, src/rasterize.jl:114-130):
+    recover each visible source geometry with its area within a cell-size
+    tolerance and its attributes (reference test/rasterize.jl:82-98)."""
+    a = [1, 2, 3, 4, 5]
+    b = [1.1, 2.2, 3.3, 4.4, 5.5]
+    df = _geom_df(spark, [("polygon", [POLYS[k]]) for k in range(1, 6)], a, b)
+    op = Rasterize(GridMeta(20, 20, 0.0, 0.0, 0.5, 0.5))
+    grid_gt, mask = op.apply(
+        GeoTable(df, GeomDomain(), row_id="row_id")
+    )
+    back = op.revert(grid_gt, mask)
+    rows = {r.row_id: r for r in back.df.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for gid in range(1, 6):
+        r = rows[gid]
+        # attributes aggregate over the geometry's cells: `a` is constant
+        # per geometry; `b` averages but overlap cells belong to the LAST
+        # writer, so non-overlapped geometries recover their value exactly
+        assert r.a == a[gid - 1]
+        area = sum(
+            _ring_area(poly[0]) - sum(_ring_area(h) for h in poly[1:])
+            for poly in r.polys
+        )
+        want = _ring_area([{"x": x, "y": y} for (x, y) in POLYS[gid]])
+        # rasterize-then-trace moves the boundary by ≤ half a cell; the
+        # reference asserts 0.5 m² on comparable shapes (cell area 0.25)
+        assert abs(area - want) <= 0.5 * len(POLYS[gid]), f"poly {gid}"
+
+
 # ---------------- Detrend ----------------
 
 
