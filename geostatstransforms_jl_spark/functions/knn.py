@@ -279,13 +279,21 @@ def _topk_tiebreak(d: "np.ndarray", s_ids: "np.ndarray", kk: int) -> "np.ndarray
 
 
 def _sq_dists(T: "np.ndarray", S: "np.ndarray") -> "np.ndarray":
-    """Pairwise SQUARED euclidean distances via the BLAS form
-    |t|² + |s|² − 2·T·Sᵀ — one gemm instead of broadcast temporaries (the
-    naive (n,m,2) subtraction is memory-bound and ~10× slower).  Selection
-    happens on d² (monotone ⇒ identical ranks and ties); callers sqrt only
-    the selected values."""
-    d2 = (T * T).sum(1)[:, None] + (S * S).sum(1)[None, :] - 2.0 * (T @ S.T)
-    np.maximum(d2, 0.0, out=d2)
+    """Pairwise SQUARED euclidean distances in DIFFERENCE form,
+    (tx−sx)² + (ty−sy)², with per-coordinate in-place temporaries.
+
+    NOT the BLAS form |t|²+|s|²−2·T·Sᵀ: that rounds differently, and on
+    lattice coordinates (true distance ties everywhere) a 1-ulp formula
+    difference flips the (dist, s_id) tie-break — the numpy paths would
+    disagree with the JVM `_dist_expr`, which computes exactly these IEEE
+    operations.  Difference form is bit-identical to the SQL path, so every
+    strategy (ladder / multires / broadcast / scan) returns the same rows.
+    Cost vs gemm: two (n,m) temporaries instead of one — fine for 2-D."""
+    d2 = T[:, 0][:, None] - S[:, 0][None, :]
+    np.multiply(d2, d2, out=d2)
+    dy = T[:, 1][:, None] - S[:, 1][None, :]
+    np.multiply(dy, dy, out=dy)
+    d2 += dy
     return d2
 
 

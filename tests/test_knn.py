@@ -186,3 +186,30 @@ def test_multires_matches_ladder(spark):
         )
         assert a.equals(b), f"k={k}: multires != ladder"
     df.unpersist()
+
+
+def test_lattice_ties_paths_bitwise_agree(spark):
+    """Regression (round 2): on lattice coordinates true distance ties are
+    everywhere, and the numpy paths used the BLAS form |t|²+|s|²−2·T·Sᵀ whose
+    1-ulp rounding differences vs the SQL difference form flipped (dist, s_id)
+    tie-breaks — 69/2M disagreeing rows between strategies at bench scale.
+    All physical paths must pick the SAME neighbor, bit for bit."""
+    import pandas as pd
+
+    n_side = 64
+    rows = []
+    i = 0
+    for a in range(n_side):
+        for b in range(n_side):
+            # two coincident points per lattice node → guaranteed dist ties
+            for dup in range(2):
+                rows.append((i, a / 100000.0 * 7, b / 32768.0 * 3))
+                i += 1
+    pdf = pd.DataFrame(rows, columns=["row_id", "x", "y"])
+    df = spark.createDataFrame(pdf).repartition(8).persist()
+    df.count()
+    bc = knn_join(df, df, k=1, exclude_same_id=True)  # broadcast/numpy path
+    cell = knn_join(df, df, k=1, exclude_same_id=True, broadcast_threshold=0)
+    a, b = _pairs(bc), _pairs(cell)
+    assert a == b
+    df.unpersist()
