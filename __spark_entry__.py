@@ -564,6 +564,58 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_points3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a 3-D point geotable (the reference is dimension-generic,
+    src/utils.jl:6): z from the order key, half the rows (bounds the DuckDB
+    cross-join oracle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 2 == 0
+    )
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("row_id"),
+        (F.col("l_partkey") % 500).cast("double").alias("x"),
+        (F.col("l_suppkey") % 100).cast("double").alias("y"),
+        (F.col("l_orderkey") % 19).cast("double").alias("z"),
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+def q_uniquecoords_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqueCoords over 3-D coordinates — exact (x, y, z) hash aggregate."""
+    pts = _lineitem_points3d(spark, sf_dir)
+    out = unique_coords_df(pts, ("x", "y", "z"), row_id="row_id")
+    return out.select(
+        "x", "y", "z", "row_id", F.round("q", 6).alias("q"), "flag"
+    )
+
+
+def q_knn3d_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D 1-NN transfer via the cell-ladder path (broadcast_threshold=0
+    forces the adaptive-grid strategy; finish_threshold below the 1500
+    customers keeps them on the ladder instead of the streaming scan)."""
+    from geostatstransforms_jl_spark.functions.knn import knn_join
+
+    src = _lineitem_points3d(spark, sf_dir)
+    tgt = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("row_id"),
+        (F.col("c_custkey") % 97).cast("double").alias("x"),
+        (F.col("c_custkey") % 89).cast("double").alias("y"),
+        (F.col("c_custkey") % 17).cast("double").alias("z"),
+    )
+    nn = knn_join(
+        tgt, src, k=1,
+        t_coords=("x", "y", "z"), s_coords=("x", "y", "z"),
+        s_carry=("q",),
+        broadcast_threshold=0, finish_threshold=1000,
+    )
+    return nn.select(
+        F.col("t_row_id").alias("cust"),
+        F.col("s_row_id").alias("src"),
+        F.round("s_q", 6).alias("q"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -610,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "rasterize_polygons": q_rasterize_polygons,
         "detrend_roundtrip": q_detrend_roundtrip,
+        "uniquecoords_3d": q_uniquecoords_3d,
+        "knn3d_transfer": q_knn3d_transfer,
     }
 
 
@@ -647,6 +701,17 @@ SELECT s_suppkey::BIGINT AS row_id,
        (s_suppkey % 89)::DOUBLE AS y,
        s_acctbal::DOUBLE AS bal
 FROM supplier
+"""
+
+
+_LI_PTS3D = """
+SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS row_id,
+       (l_partkey % 500)::DOUBLE AS x,
+       (l_suppkey % 100)::DOUBLE AS y,
+       (l_orderkey % 19)::DOUBLE AS z,
+       l_quantity::DOUBLE AS q,
+       l_returnflag AS flag
+FROM lineitem WHERE l_orderkey % 2 = 0
 """
 
 
@@ -1019,6 +1084,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
                    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end
             FROM s GROUP BY 1, 2
+        """,
+        "uniquecoords_3d": f"""
+            WITH pts AS ({_LI_PTS3D})
+            SELECT x, y, z,
+                   MIN(row_id) AS row_id,
+                   ROUND(AVG(q), 6) AS q,
+                   ARG_MIN(flag, row_id) AS flag
+            FROM pts GROUP BY x, y, z
+        """,
+        "knn3d_transfer": f"""
+            WITH s AS ({_LI_PTS3D}), t AS (
+              SELECT c_custkey::BIGINT AS rid,
+                     (c_custkey % 97)::DOUBLE AS x,
+                     (c_custkey % 89)::DOUBLE AS y,
+                     (c_custkey % 17)::DOUBLE AS z
+              FROM customer
+            )
+            -- min(struct) instead of a window: DuckDB struct comparison is
+            -- lexicographic, matching the engine's (dist, s_id) tie-break
+            SELECT t.rid AS cust,
+                   (MIN({{'d': sqrt((t.x-s.x)*(t.x-s.x)+(t.y-s.y)*(t.y-s.y)+(t.z-s.z)*(t.z-s.z)),
+                         'rid': s.row_id, 'q': s.q}})).rid AS src,
+                   ROUND((MIN({{'d': sqrt((t.x-s.x)*(t.x-s.x)+(t.y-s.y)*(t.y-s.y)+(t.z-s.z)*(t.z-s.z)),
+                         'rid': s.row_id, 'q': s.q}})).q, 6) AS q
+            FROM t CROSS JOIN s GROUP BY t.rid
         """,
     }
 

@@ -54,59 +54,52 @@ from pyspark.sql import functions as F
 from ..core import cells as C
 
 
-def _prefixed(df: DataFrame, prefix: str, coords: Tuple[str, str], id_col: str, carry: Sequence[str]) -> DataFrame:
+def _prefixed(df: DataFrame, prefix: str, coords: Sequence[str], id_col: str, carry: Sequence[str]) -> DataFrame:
     keep = [id_col, *coords, *carry]
     sel = [F.col(c).alias(f"{prefix}{c}") for c in dict.fromkeys(keep)]
     return df.select(*sel)
 
 
-def _dist_expr(tx, ty, sx, sy):
-    return F.sqrt((tx - sx) * (tx - sx) + (ty - sy) * (ty - sy))
+def _dist_expr(tcols, scols):
+    """√Σ(tᵢ−sᵢ)² — difference form, bit-identical to the numpy `_sq_dists`."""
+    acc = None
+    for tc, sc in zip(tcols, scols):
+        term = (tc - sc) * (tc - sc)
+        acc = term if acc is None else acc + term
+    return F.sqrt(acc)
 
 
 def _union_bounds_and_counts(a: DataFrame, ac, b: DataFrame, bc):
-    """Bounds of both sides + row counts in ONE job (union-tagged agg)."""
+    """Bounds of both sides + row counts in ONE job (union-tagged agg).
+    Returns (bounds, n_a, n_b) with bounds = ((lo, hi), … per axis)."""
+    nd = len(ac)
+    names = [f"_c{i}" for i in range(nd)]
     u = a.select(
-        F.lit(0).alias("_side"), F.col(ac[0]).alias("_x"), F.col(ac[1]).alias("_y")
+        F.lit(0).alias("_side"), *[F.col(c).alias(n) for c, n in zip(ac, names)]
     ).unionByName(
-        b.select(F.lit(1).alias("_side"), F.col(bc[0]).alias("_x"), F.col(bc[1]).alias("_y"))
+        b.select(F.lit(1).alias("_side"), *[F.col(c).alias(n) for c, n in zip(bc, names)])
     )
-    rows = {
-        r["_side"]: r
-        for r in u.groupBy("_side")
-        .agg(
-            F.min("_x").alias("x0"),
-            F.min("_y").alias("y0"),
-            F.max("_x").alias("x1"),
-            F.max("_y").alias("y1"),
-            F.count("*").alias("n"),
-        )
-        .collect()
-    }
+    aggs = [F.count("*").alias("n")]
+    for n_ in names:
+        aggs += [F.min(n_).alias(f"lo{n_}"), F.max(n_).alias(f"hi{n_}")]
+    rows = {r["_side"]: r for r in u.groupBy("_side").agg(*aggs).collect()}
     ra, rb = rows.get(0), rows.get(1)
     n_a = int(ra["n"]) if ra else 0
     n_b = int(rb["n"]) if rb else 0
-    xs0 = [r["x0"] for r in (ra, rb) if r]
-    ys0 = [r["y0"] for r in (ra, rb) if r]
-    xs1 = [r["x1"] for r in (ra, rb) if r]
-    ys1 = [r["y1"] for r in (ra, rb) if r]
-    x0, y0 = float(min(xs0)), float(min(ys0))
-    x1, y1 = float(max(xs1)), float(max(ys1))
-    if x1 <= x0:
-        x1 = x0 + 1.0
-    if y1 <= y0:
-        y1 = y0 + 1.0
-    return x0, y0, x1, y1, n_a, n_b
+    bounds = []
+    for n_ in names:
+        lo = float(min(r[f"lo{n_}"] for r in (ra, rb) if r))
+        hi = float(max(r[f"hi{n_}"] for r in (ra, rb) if r))
+        if hi <= lo:
+            hi = lo + 1.0
+        bounds.append((lo, hi))
+    return tuple(bounds), n_a, n_b
 
 
 def _adaptive_cell_grid(
     s_df: DataFrame,
-    sx: str,
-    sy: str,
-    x0: float,
-    y0: float,
-    x1: float,
-    y1: float,
+    scs: Sequence[str],
+    bounds,
     base_res: int,
     cap: int,
     span: int = None,
@@ -128,23 +121,20 @@ def _adaptive_cell_grid(
     candidate resolution exceeds cap — i.e. mass sits on coincident
     coordinates that no grid can split; the caller must compress those.
     """
-    # evaluate candidate resolutions all the way to MAX_RES by default:
-    # a dense blob 10^-k the width of the extent needs ~3.3k extra levels,
-    # and an undersized span reintroduces the m² hot-cell blowup this
+    # evaluate candidate resolutions all the way to the per-axis bit cap by
+    # default: a dense blob 10^-k the width of the extent needs ~3.3k extra
+    # levels, and an undersized span reintroduces the m² hot-cell blowup this
     # function exists to prevent.  Cost only grows the histogram explode
     # factor (histogram rows, never payload rows).
-    fine_res = min(C.MAX_RES, base_res + span) if span is not None else C.MAX_RES
+    res_cap = C.BITS[len(bounds)]
+    fine_res = min(res_cap, base_res + span) if span is not None else res_cap
     fine_res = max(fine_res, base_res)
     d_max = fine_res - base_res
-    grid_f = C.CellGrid(x0, y0, x1, y1, fine_res)
-    hist = s_df.groupBy(grid_f.cell(F.col(sx), F.col(sy)).alias("_c")).count()
-    ix = F.shiftrightunsigned("_c", 30)
-    iy = F.col("_c").bitwiseAND(F.lit((1 << 30) - 1))
+    grid_f = C.CellGrid(bounds, fine_res)
+    hist = s_df.groupBy(grid_f.cell(*[F.col(c) for c in scs]).alias("_c")).count()
     # parent cell at (fine_res - d): drop d low bits of each axis.  The shift
-    # amount is a column, so use exact integer division by 2^d instead of the
-    # literal-only shiftrightunsigned.
-    pow2 = F.pow(F.lit(2.0), F.col("_d")).cast("long")
-    parent = F.shiftleft(F.floor(ix / pow2).cast("long"), 30) + F.floor(iy / pow2).cast("long")
+    # amount is a column, so `parent` uses exact integer division by 2^d.
+    parent = grid_f.parent(F.col("_c"), F.col("_d"))
     occ = (
         hist.select(F.explode(F.sequence(F.lit(0), F.lit(d_max))).alias("_d"), "_c", "count")
         .groupBy("_d", parent.alias("_p"))
@@ -156,7 +146,7 @@ def _adaptive_cell_grid(
     max_at = {int(r["_d"]): int(r["_m"]) for r in occ}
     for d in range(d_max, -1, -1):  # coarsest candidate first
         if max_at.get(d, 0) <= cap:
-            return C.CellGrid(x0, y0, x1, y1, fine_res - d), False, max_at.get(d, 0)
+            return C.CellGrid(bounds, fine_res - d), False, max_at.get(d, 0)
     return grid_f, True, max_at.get(0, 0)
 
 
@@ -179,8 +169,8 @@ def radius_join(
     *,
     t_id: str = "row_id",
     s_id: str = "row_id",
-    t_coords: Tuple[str, str] = ("x", "y"),
-    s_coords: Tuple[str, str] = ("x", "y"),
+    t_coords: Sequence[str] = ("x", "y"),
+    s_coords: Sequence[str] = ("x", "y"),
     t_carry: Sequence[str] = (),
     s_carry: Sequence[str] = (),
     exclude_same_id: bool = False,
@@ -188,25 +178,26 @@ def radius_join(
 ) -> DataFrame:
     """All (target, source) pairs with euclidean distance ≤ radius.
 
-    Exact: the ring count covers the ball by construction.
+    Exact: the ring count covers the ball by construction.  n-D: pass 2- or
+    3-element coordinate tuples.
     """
     t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
     s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
-    tx, ty = (f"t_{c}" for c in t_coords)
-    sx, sy = (f"s_{c}" for c in s_coords)
+    tc = [f"t_{c}" for c in t_coords]
+    sc = [f"s_{c}" for c in s_coords]
 
-    x0, y0, x1, y1, n_t, n_s = _union_bounds_and_counts(t, (tx, ty), s, (sx, sy))
-    res = C.pick_resolution(x0, y0, x1, y1, radius)
-    grid = C.CellGrid(x0, y0, x1, y1, res)
+    bounds, n_t, n_s = _union_bounds_and_counts(t, tc, s, sc)
+    res = C.pick_resolution(bounds, radius)
+    grid = C.CellGrid(bounds, res)
     k = grid.rings_needed(radius)
 
-    s_cells = C.with_cell(s, grid, x=sx, y=sy, out="_cell")
-    t_cells = C.kring_exploded(t, grid, k, x=tx, y=ty, out="_cell")
+    s_cells = C.with_cell(s, grid, coords=sc, out="_cell")
+    t_cells = C.kring_exploded(t, grid, k, coords=tc, out="_cell")
 
     # salting only pays when a single cell CAN exceed the threshold
     thr = salt_threshold if (salt_threshold and n_s > salt_threshold) else None
     joined = _salted_cell_join(t_cells, s_cells, thr)
-    d = _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy))
+    d = _dist_expr([F.col(c) for c in tc], [F.col(c) for c in sc])
     out = joined.withColumn("dist", d).filter(F.col("dist") <= F.lit(float(radius))).drop("_cell")
     if exclude_same_id:
         out = out.filter(F.col(f"t_{t_id}") != F.col(f"s_{s_id}"))
@@ -288,12 +279,13 @@ def _sq_dists(T: "np.ndarray", S: "np.ndarray") -> "np.ndarray":
     disagree with the JVM `_dist_expr`, which computes exactly these IEEE
     operations.  Difference form is bit-identical to the SQL path, so every
     strategy (ladder / multires / broadcast / scan) returns the same rows.
-    Cost vs gemm: two (n,m) temporaries instead of one — fine for 2-D."""
+    Cost vs gemm: ndim (n,m) temporaries instead of one — fine for 2-/3-D."""
     d2 = T[:, 0][:, None] - S[:, 0][None, :]
     np.multiply(d2, d2, out=d2)
-    dy = T[:, 1][:, None] - S[:, 1][None, :]
-    np.multiply(dy, dy, out=dy)
-    d2 += dy
+    for ax in range(1, T.shape[1]):
+        da = T[:, ax][:, None] - S[:, ax][None, :]
+        np.multiply(da, da, out=da)
+        d2 += da
     return d2
 
 
@@ -303,10 +295,8 @@ def _broadcast_knn(
     k: int,
     tid: str,
     sid: str,
-    tx: str,
-    ty: str,
-    sx: str,
-    sy: str,
+    tc: Sequence[str],
+    sc: Sequence[str],
     exclude_same_id: bool,
     max_radius,
 ) -> DataFrame:
@@ -320,7 +310,7 @@ def _broadcast_knn(
     from typing import Iterator
 
     spdf = s.toPandas()
-    S = spdf[[sx, sy]].to_numpy(dtype=float)
+    S = spdf[list(sc)].to_numpy(dtype=float)
     s_ids = spdf[sid].to_numpy()
     # deterministic tie-break pre-sort: stable argpartition order by id later
     s_cols = {c: spdf[c].to_numpy() for c in spdf.columns}
@@ -334,7 +324,7 @@ def _broadcast_knn(
         for pdf in batches:
             if pdf.empty:
                 continue
-            T = pdf[[tx, ty]].to_numpy(dtype=float)
+            T = pdf[list(tc)].to_numpy(dtype=float)
             d = _sq_dists(T, S)  # (n_t, n_s) squared
             if exclude_same_id:
                 same = pdf[tid].to_numpy()[:, None] == s_ids[None, :]
@@ -375,10 +365,8 @@ def _bcast_targets_scan(
     k: int,
     tid: str,
     sid: str,
-    tx: str,
-    ty: str,
-    sx: str,
-    sy: str,
+    tc: Sequence[str],
+    sc: Sequence[str],
     exclude_same_id: bool,
     max_radius,
 ) -> DataFrame:
@@ -393,7 +381,7 @@ def _bcast_targets_scan(
 
     tpdf = t_small.toPandas()
     n_t = len(tpdf)
-    T = tpdf[[tx, ty]].to_numpy(dtype=float)
+    T = tpdf[list(tc)].to_numpy(dtype=float)
     t_ids = tpdf[tid].to_numpy()
     t_cols = {c: tpdf[c].to_numpy() for c in tpdf.columns}
 
@@ -413,7 +401,7 @@ def _bcast_targets_scan(
         for pdf in batches:
             if pdf.empty:
                 continue
-            S = pdf[[sx, sy]].to_numpy(dtype=float)
+            S = pdf[list(sc)].to_numpy(dtype=float)
             s_ids = pdf[sid].to_numpy()
             nb = len(pdf)
             t_chunk = max(256, CHUNK // max(nb, 1))
@@ -487,8 +475,8 @@ def knn_join(
     *,
     t_id: str = "row_id",
     s_id: str = "row_id",
-    t_coords: Tuple[str, str] = ("x", "y"),
-    s_coords: Tuple[str, str] = ("x", "y"),
+    t_coords: Sequence[str] = ("x", "y"),
+    s_coords: Sequence[str] = ("x", "y"),
     t_carry: Sequence[str] = (),
     s_carry: Sequence[str] = (),
     exclude_same_id: bool = False,
@@ -506,6 +494,10 @@ def knn_join(
     a ball, src/interpneighbors.jl:72-84); targets with no qualifying source
     are absent from the output (consumers left-join to keep them).
 
+    n-D: pass matching-length coordinate tuples (2-D ``("x","y")`` default,
+    3-D ``("x","y","z")``) — the reference is dimension-generic
+    (src/utils.jl:6, src/modefilter.jl:22).
+
     Physical strategy selection (the engine's §3.1-step-3 dispatch):
     * sources ≤ broadcast_threshold → `_broadcast_knn` (one narrow pass);
     * otherwise → cell-ring candidate join with driver-looped exact
@@ -513,35 +505,32 @@ def knn_join(
     """
     t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
     s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
-    tx, ty = (f"t_{c}" for c in t_coords)
-    sx, sy = (f"s_{c}" for c in s_coords)
+    tc = [f"t_{c}" for c in t_coords]
+    sc = [f"s_{c}" for c in s_coords]
     tid, sid = f"t_{t_id}", f"s_{s_id}"
+    ndim = len(tc)
 
-    x0, y0, x1, y1, n_targets, n_sources = _union_bounds_and_counts(t, (tx, ty), s, (sx, sy))
+    bounds, n_targets, n_sources = _union_bounds_and_counts(t, tc, s, sc)
     if n_sources == 0:
         raise ValueError("knn_join: empty source side")
     if n_sources <= broadcast_threshold:
-        return _broadcast_knn(
-            t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
-        )
+        return _broadcast_knn(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
     if n_targets <= finish_threshold:
         # few targets, many sources (e.g. InterpolateNeighbors onto a small
         # domain): one streaming scan beats building the cell index
-        return _bcast_targets_scan(
-            t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
-        )
-    base_res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k))
+        return _bcast_targets_scan(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
+    base_res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k), ndim)
     # skew guard: refine until the densest cell is bounded (see
     # _adaptive_cell_grid).  cap bounds ring-1 candidates per target at
-    # 9·cap while staying coarse enough to settle most targets in round 1.
+    # 3^ndim·cap while staying coarse enough to settle most targets in round 1.
     cap = max(16, 4 * k)
-    grid, overfull, occ_max = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
+    grid, overfull, occ_max = _adaptive_cell_grid(s, sc, bounds, base_res, cap)
     if overfull:
         # mass on coincident coordinates no grid can split.  Exact
         # compression: among sources sharing one exact coordinate, only the
         # k+1 smallest ids can ever rank in a top-k (ties break by id, and
         # at most one of them is the target itself under exclude_same_id).
-        w_coin = Window.partitionBy(sx, sy).orderBy(sid)
+        w_coin = Window.partitionBy(*sc).orderBy(sid)
         s = (
             s.withColumn("_rn", F.row_number().over(w_coin))
             .filter(F.col("_rn") <= k + 1)
@@ -549,9 +538,9 @@ def knn_join(
         )
         # re-pick the grid on the COMPRESSED sources: the coincident pile no
         # longer dominates the histogram, so the loop starts at a sane
-        # resolution instead of crawling down from MAX_RES level by level
-        grid, _, occ_max = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
-    diag = math.hypot(x1 - x0, y1 - y0)
+        # resolution instead of crawling down from the bit cap level by level
+        grid, _, occ_max = _adaptive_cell_grid(s, sc, bounds, base_res, cap)
+    diag = math.sqrt(sum((hi - lo) ** 2 for lo, hi in bounds))
     # the adaptive resolution already bounds occupancy at the STARTING level;
     # salting can only matter at coarser levels of the ladder (occupancy
     # grows ×64/level) or in the overfull case — skip the per-join hot-cell
@@ -567,7 +556,9 @@ def knn_join(
         """k best (dist, s_id) rows per target from a candidate set, plus
         bookkeeping columns `_cnt` (candidates seen) and `_kth` (worst kept
         distance)."""
-        cand = cand.withColumn("dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy)))
+        cand = cand.withColumn(
+            "dist", _dist_expr([F.col(c) for c in tc], [F.col(c) for c in sc])
+        )
         if max_radius is not None:
             cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
         if exclude_same_id:
@@ -609,25 +600,29 @@ def knn_join(
     #   two later; a bounded streaming scan finishes any tiny remainder.
     # Driver actions: one count per level (≈2–3 levels in practice).
     # ---------------------------------------------------------------------
-    t_payload = [c for c in t.columns if c not in (tid, tx, ty)]
+    t_payload = [c for c in t.columns if c not in (tid, *tc)]
     pieces = []
     persisted = []
     cur = t
     n_cur = n_targets
     level_step = 3
     d = 0
+    # verify-ring cap: ring volume is (2R+1)^ndim rows per target, so the
+    # affordable R shrinks with dimension (2-D: 13²=169 cells; 3-D: 7³=343)
+    R_MAX = {1: 16, 2: 6, 3: 3}.get(ndim, 2)
     while True:
-        gridL = C.CellGrid(x0, y0, x1, y1, max(0, grid.res - d))
-        sL = C.with_cell(s, gridL, x=sx, y=sy, out="_cell").persist()
+        gridL = C.CellGrid(bounds, max(0, grid.res - d))
+        sL = C.with_cell(s, gridL, coords=sc, out="_cell").persist()
         persisted.append(sL)
         edge = gridL.min_cell_edge
-        # occupancy upper bound at this level: a level-d cell contains 4^d
-        # starting-level cells, each ≤ occ_max (exact when not overfull)
-        occ_bound = (occ_max if not overfull else n_sources) * (4 ** d)
+        # occupancy upper bound at this level: a level-d cell contains
+        # 2^(ndim·d) starting-level cells, each ≤ occ_max (exact when not
+        # overfull)
+        occ_bound = (occ_max if not overfull else n_sources) * ((1 << ndim) ** d)
         thr_L = thr if (thr and occ_bound > thr) else None
 
         t0_ = _time.perf_counter()
-        t_cells = C.kring_exploded(cur, gridL, 1, x=tx, y=ty, out="_cell")
+        t_cells = C.kring_exploded(cur, gridL, 1, coords=tc, out="_cell")
         best = _kbest(_salted_cell_join(t_cells, sL, thr_L)).persist()
         persisted.append(best)
 
@@ -636,19 +631,18 @@ def knn_join(
         )
         pieces.append(proven)
 
-        head = best.filter(F.col("rank") == 1).select(tid, tx, ty, "_kth", "_cnt")
+        head = best.filter(F.col("rank") == 1).select(tid, *tc, "_kth", "_cnt")
         # verify ring sized by the target's own candidate ball — but CAPPED:
         # a target whose ball spans many cells of this level would explode
-        # (2r+1)² rows here, while one level coarser the same ball needs r/8
-        # rings.  Deferring it costs one cheap re-discovery; verifying it
-        # here costs quadratic explode volume.  R_MAX=6 ⇒ ≤169 cells/target.
-        R_MAX = 6
+        # (2r+1)^ndim rows here, while one level coarser the same ball needs
+        # r/8 rings.  Deferring it costs one cheap re-discovery; verifying it
+        # here costs exponential explode volume.
         ring_col = F.ceil(F.col("_kth") / F.lit(edge)).cast("int") + F.lit(1)
         unproven = head.filter(
             (F.col("_cnt") >= k) & (F.col("_kth") > F.lit(edge)) & (ring_col <= R_MAX)
         )
-        verify_t = unproven.select(tid, tx, ty, ring_col.alias("_ring"))
-        vb_cells = C.kring_exploded_var(verify_t, gridL, "_ring", x=tx, y=ty, out="_cell").drop(
+        verify_t = unproven.select(tid, *tc, ring_col.alias("_ring"))
+        vb_cells = C.kring_exploded_var(verify_t, gridL, "_ring", coords=tc, out="_cell").drop(
             "_ring"
         )
         bestB = _kbest(_salted_cell_join(vb_cells, sL, thr_L)).drop("_cnt", "_kth")
@@ -679,7 +673,7 @@ def knn_join(
             or gridL.res == 0
         ):
             scan_piece = _bcast_targets_scan(
-                starved, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
+                starved, s, k, tid, sid, tc, sc, exclude_same_id, max_radius
             )
             if _dbg:
                 _ts = _time.perf_counter()
@@ -711,7 +705,7 @@ def knn_join(
     return out
 
 
-def _leaf_assignment(s: DataFrame, sx: str, sy: str, grids: dict, cap: int) -> DataFrame:
+def _leaf_assignment(s: DataFrame, sc: Sequence[str], grids: dict, cap: int) -> DataFrame:
     """Quadtree leaf per source, computed from ONE fine-resolution histogram.
 
     A source's leaf is the COARSEST ladder level whose containing cell holds
@@ -726,16 +720,11 @@ def _leaf_assignment(s: DataFrame, sx: str, sy: str, grids: dict, cap: int) -> D
     levels = sorted(grids)  # ascending res: coarse → fine
     fine = max(levels)
     gf = grids[fine]
-    fine_cell = gf.cell(F.col(sx), F.col(sy))
+    fine_cell = gf.cell(*[F.col(c) for c in sc])
     hist = s.groupBy(fine_cell.alias("_c")).count()
 
-    ix = F.shiftrightunsigned("_c", 30)
-    iy = F.col("_c").bitwiseAND(F.lit((1 << 30) - 1))
-
     def anc(r):
-        d = fine - r
-        pw = F.lit(float(2 ** d))
-        return F.shiftleft(F.floor(ix / pw).cast("long"), 30) + F.floor(iy / pw).cast("long")
+        return gf.parent(F.col("_c"), fine - r)
 
     lv = hist.select(
         "_c", "count", F.explode(F.array(*[F.lit(r) for r in levels])).alias("_r")
@@ -782,8 +771,8 @@ def knn_join_multires(
     *,
     t_id: str = "row_id",
     s_id: str = "row_id",
-    t_coords: Tuple[str, str] = ("x", "y"),
-    s_coords: Tuple[str, str] = ("x", "y"),
+    t_coords: Sequence[str] = ("x", "y"),
+    s_coords: Sequence[str] = ("x", "y"),
     t_carry: Sequence[str] = (),
     s_carry: Sequence[str] = (),
     exclude_same_id: bool = False,
@@ -816,31 +805,30 @@ def knn_join_multires(
     """
     t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
     s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
-    tx, ty = (f"t_{c}" for c in t_coords)
-    sx, sy = (f"s_{c}" for c in s_coords)
+    tc = [f"t_{c}" for c in t_coords]
+    sc = [f"s_{c}" for c in s_coords]
     tid, sid = f"t_{t_id}", f"s_{s_id}"
+    ndim = len(tc)
 
-    x0, y0, x1, y1, n_targets, n_sources = _union_bounds_and_counts(t, (tx, ty), s, (sx, sy))
+    bounds, n_targets, n_sources = _union_bounds_and_counts(t, tc, s, sc)
     if n_sources == 0:
         raise ValueError("knn_join: empty source side")
     if n_sources <= broadcast_threshold:
-        return _broadcast_knn(t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius)
+        return _broadcast_knn(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
     if n_targets <= finish_threshold:
-        return _bcast_targets_scan(
-            t, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
-        )
+        return _bcast_targets_scan(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
 
-    base_res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k))
+    base_res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k), ndim)
     cap = max(16, 4 * k)
-    grid, overfull, occ_max = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
+    grid, overfull, occ_max = _adaptive_cell_grid(s, sc, bounds, base_res, cap)
     if overfull:
-        w_coin = Window.partitionBy(sx, sy).orderBy(sid)
+        w_coin = Window.partitionBy(*sc).orderBy(sid)
         s = (
             s.withColumn("_rn", F.row_number().over(w_coin))
             .filter(F.col("_rn") <= k + 1)
             .drop("_rn")
         )
-        grid, _, occ_max = _adaptive_cell_grid(s, sx, sy, x0, y0, x1, y1, base_res, cap)
+        grid, _, occ_max = _adaptive_cell_grid(s, sc, bounds, base_res, cap)
 
     # ladder: finest (occupancy-bounded) res down to ~0, step ×2^level_step
     levels = []
@@ -849,15 +837,17 @@ def knn_join_multires(
         levels.append(r)
         r -= level_step
     levels.append(0)
-    grids = {r: C.CellGrid(x0, y0, x1, y1, r) for r in levels}
+    grids = {r: C.CellGrid(bounds, r) for r in levels}
     s = s.persist()
-    s_leaf = _leaf_assignment(s, sx, sy, grids, cap).persist()
+    s_leaf = _leaf_assignment(s, sc, grids, cap).persist()
     persisted = [s, s_leaf]
 
     w = Window.partitionBy(tid).orderBy(F.col("dist"), F.col(sid))
 
     def _kbest(cand: DataFrame, with_stats: bool) -> DataFrame:
-        cand = cand.withColumn("dist", _dist_expr(F.col(tx), F.col(ty), F.col(sx), F.col(sy)))
+        cand = cand.withColumn(
+            "dist", _dist_expr([F.col(c) for c in tc], [F.col(c) for c in sc])
+        )
         if max_radius is not None:
             cand = cand.filter(F.col("dist") <= F.lit(float(max_radius)))
         if exclude_same_id:
@@ -894,7 +884,7 @@ def knn_join_multires(
     ring1 = None
     for r in levels:
         piece = C.kring_exploded(
-            tl.filter(F.col("_r") == r), grids[r], 1, x=tx, y=ty, out="_cell"
+            tl.filter(F.col("_r") == r), grids[r], 1, coords=tc, out="_cell"
         )
         ring1 = piece if ring1 is None else ring1.unionByName(piece)
     cand1 = ring1.join(
@@ -909,10 +899,10 @@ def knn_join_multires(
         "_cnt", "_kth"
     )
 
-    head = best.filter(F.col("rank") == 1).select(tid, tx, ty, "_kth", "_cnt")
+    head = best.filter(F.col("rank") == 1).select(tid, *tc, "_kth", "_cnt")
 
     # ---- pass 2: verify each unproven target at its own level -----------
-    R_MAX = 6
+    R_MAX = {1: 16, 2: 6, 3: 3}.get(ndim, 2)
     # coarsest level whose ring count for the target's d1 ball is ≤ R_MAX
     lvl_expr = None
     ring_expr = None
@@ -923,12 +913,12 @@ def knn_join_multires(
         ring_expr = F.when(cond, need) if ring_expr is None else F.when(cond, need).otherwise(ring_expr)
     unproven = head.filter((F.col("_cnt") >= k) & (F.col("_kth") > F.lit(guaranteed)))
     verify_t = unproven.select(
-        tid, tx, ty, lvl_expr.alias("_vr"), ring_expr.alias("_ring")
+        tid, *tc, lvl_expr.alias("_vr"), ring_expr.alias("_ring")
     )
     vparts = None
     for r in levels:
         sub = verify_t.filter(F.col("_vr") == r)
-        pc = C.kring_exploded_var(sub, grids[r], "_ring", x=tx, y=ty, out="_cell").drop(
+        pc = C.kring_exploded_var(sub, grids[r], "_ring", coords=tc, out="_cell").drop(
             "_ring"
         )
         vparts = pc if vparts is None else vparts.unionByName(pc)
@@ -936,12 +926,12 @@ def knn_join_multires(
     s_all = s.withColumn("_vr", F.explode(lvl_arr))
     cellv = None
     for r in levels:
-        e = grids[r].cell(F.col(sx), F.col(sy))
+        e = grids[r].cell(*[F.col(c) for c in sc])
         cellv = F.when(F.col("_vr") == r, e) if cellv is None else F.when(F.col("_vr") == r, e).otherwise(cellv)
     s_all = s_all.withColumn("_cell", cellv)
     cand2 = vparts.join(s_all, ["_vr", "_cell"]).drop("_vr")
     bestB = _kbest(cand2, with_stats=False)
-    t_payload = [c for c in t.columns if c not in (tid, tx, ty)]
+    t_payload = [c for c in t.columns if c not in (tid, *tc)]
     if t_payload:
         bestB = bestB.join(t.select(tid, *t_payload), tid)
 
@@ -962,7 +952,7 @@ def knn_join_multires(
     if n_starved > 0:
         pieces.append(
             _bcast_targets_scan(
-                starved, s, k, tid, sid, tx, ty, sx, sy, exclude_same_id, max_radius
+                starved, s, k, tid, sid, tc, sc, exclude_same_id, max_radius
             )
         )
     out = pieces[0]

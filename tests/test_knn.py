@@ -213,3 +213,71 @@ def test_lattice_ties_paths_bitwise_agree(spark):
     a, b = _pairs(bc), _pairs(cell)
     assert a == b
     df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def pts3d(spark):
+    rng = np.random.default_rng(23)
+    n = 4000
+    xyz = rng.random((n, 3)) * 50
+    # skew: a dense 3-D blob plus a coincident pile
+    xyz[: n // 4] = rng.random((n // 4, 3)) * 0.3
+    xyz[:40] = [7.0, 8.0, 9.0]
+    rows = [(i, float(p[0]), float(p[1]), float(p[2]), float(i % 11)) for i, p in enumerate(xyz)]
+    return spark.createDataFrame(
+        rows, "row_id long, x double, y double, z double, v double"
+    ).persist()
+
+
+def _brute3(pdf, exclude_same=True):
+    X = pdf[["x", "y", "z"]].to_numpy()
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    if exclude_same:
+        np.fill_diagonal(D, np.inf)
+    return D
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_knn3d_paths_agree_and_exact(spark, pts3d, k):
+    """3-D kNN: broadcast and cell paths agree with each other AND with a
+    numpy brute force (the reference is n-D, src/utils.jl:6)."""
+    coords = ("x", "y", "z")
+    bc = knn_join(pts3d, pts3d, k=k, t_coords=coords, s_coords=coords, exclude_same_id=True)
+    cell = knn_join(
+        pts3d, pts3d, k=k, t_coords=coords, s_coords=coords,
+        exclude_same_id=True, broadcast_threshold=0, salt_threshold=2000,
+    )
+    a, b = _pairs(bc), _pairs(cell)
+    assert a == b
+    pdf = pts3d.orderBy("row_id").toPandas()
+    D = _brute3(pdf)
+    for t in range(0, 4000, 173):
+        order = np.lexsort((np.arange(D.shape[1]), D[t]))[:k]
+        for rank, s in enumerate(order, start=1):
+            sid, dist = a[(t, rank)]
+            assert sid == s
+            assert dist == pytest.approx(D[t, s], abs=1e-9)
+
+
+def test_knn3d_multires_matches_ladder(spark, pts3d):
+    from geostatstransforms_jl_spark.functions.knn import knn_join_multires
+
+    coords = ("x", "y", "z")
+    a = _pairs(knn_join(pts3d, pts3d, k=2, t_coords=coords, s_coords=coords,
+                        exclude_same_id=True, broadcast_threshold=0))
+    b = _pairs(knn_join_multires(pts3d, pts3d, k=2, t_coords=coords, s_coords=coords,
+                                 exclude_same_id=True, broadcast_threshold=0))
+    assert a == b
+
+
+def test_radius3d_exact(spark, pts3d):
+    out = radius_join(pts3d, pts3d, radius=1.5, t_coords=("x", "y", "z"),
+                      s_coords=("x", "y", "z"), exclude_same_id=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["t_row_id"], set()).add(r["s_row_id"])
+    pdf = pts3d.orderBy("row_id").toPandas()
+    D = _brute3(pdf)
+    for t in range(0, 4000, 241):
+        expect = set(np.flatnonzero(D[t] <= 1.5).tolist())
+        assert got.get(t, set()) == expect
