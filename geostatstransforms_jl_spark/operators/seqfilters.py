@@ -121,6 +121,11 @@ def mode_filter_df(
     dtype = df.schema[var].dataType.simpleString()
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas delivers the group's rows in shuffle-fetch order —
+        # nondeterministic across runs.  The visit order below is built from
+        # row order, so sort first: the seeded shuffle must permute a STABLE
+        # base order or the sequential feedback loop isn't reproducible (P14).
+        pdf = pdf.sort_values([ic, jc], ignore_index=True)
         rng = np.random.default_rng(_tile_seed(pdf, tile_col, seed))
         ii = pdf[ic].to_numpy()
         jj = pdf[jc].to_numpy()
@@ -182,6 +187,7 @@ def max_posterior_df(
     ball_r = float(range_)
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ic, jc], ignore_index=True)  # stable order (P14)
         ii = pdf[ic].to_numpy()
         jj = pdf[jc].to_numpy()
         tnx, tny = ii.max() + 1, jj.max() + 1
@@ -264,6 +270,7 @@ def quenching_df(
     ball_r = float(range_)
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ic, jc], ignore_index=True)  # stable order (P14)
         rng = np.random.default_rng(_tile_seed(pdf, tile_col, seed))
         ii = pdf[ic].to_numpy()
         jj = pdf[jc].to_numpy()
