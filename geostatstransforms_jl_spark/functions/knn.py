@@ -523,7 +523,10 @@ def knn_join(
     # skew guard: refine until the densest cell is bounded (see
     # _adaptive_cell_grid).  cap bounds ring-1 candidates per target at
     # 3^ndim·cap while staying coarse enough to settle most targets in round 1.
-    cap = max(16, 4 * k)
+    # measured at 2M bench anchors (PLANS.md round 2): cap 8 beats 16 by
+    # ~20% at local[8] AND ~26% at local[2] for k=1 (candidate volume scales
+    # with cap; too-fine cap 4 re-adds ladder rounds and loses it back)
+    cap = max(8, 4 * k)
     grid, overfull, occ_max = _adaptive_cell_grid(s, sc, bounds, base_res, cap)
     if overfull:
         # mass on coincident coordinates no grid can split.  Exact
@@ -819,7 +822,10 @@ def knn_join_multires(
         return _bcast_targets_scan(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
 
     base_res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k), ndim)
-    cap = max(16, 4 * k)
+    # measured at 2M bench anchors (PLANS.md round 2): cap 8 beats 16 by
+    # ~20% at local[8] AND ~26% at local[2] for k=1 (candidate volume scales
+    # with cap; too-fine cap 4 re-adds ladder rounds and loses it back)
+    cap = max(8, 4 * k)
     grid, overfull, occ_max = _adaptive_cell_grid(s, sc, bounds, base_res, cap)
     if overfull:
         w_coin = Window.partitionBy(*sc).orderBy(sid)

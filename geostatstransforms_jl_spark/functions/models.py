@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -112,11 +112,22 @@ def kriging_reduce(
     t_coords=("t_x", "t_y"),
     s_coords=("s_x", "s_y"),
     min_neighbors: int = 1,
+    prob: bool = False,
+    support_offsets: Optional[Sequence[Tuple[float, float]]] = None,
 ) -> DataFrame:
     """Per-target ordinary-kriging solve over that target's neighbor rows.
 
     Grouped `applyInPandas`: one Arrow batch per target group; the solve is
     a (k+1)×(k+1) numpy system — k = maxneighbors is small by construction.
+
+    ``prob`` (the reference's Interpolate ``prob=true``,
+    src/interpolate.jl:16,53): also emit the ordinary-kriging variance
+    σ² = λᵀγ₀ + ν per value column as ``<c>_var`` — the predictive
+    distribution is Normal(mean, σ²).
+
+    ``support_offsets`` (the reference's ``point=false``, block support):
+    the right-hand-side γ₀ is averaged over these (dx, dy) offsets from the
+    target centroid — block kriging by cell quadrature.
     """
     gamma = model.gamma()
     tx, ty = t_coords
@@ -125,40 +136,63 @@ def kriging_reduce(
     fields = [T.StructField(tid, pairs.schema[tid].dataType)] + [
         T.StructField(c, T.DoubleType()) for c in value_cols
     ]
+    if prob:
+        fields += [T.StructField(f"{c}_var", T.DoubleType()) for c in value_cols]
     schema = T.StructType(fields)
+    offs = (
+        np.array(support_offsets, dtype=float)
+        if support_offsets is not None
+        else np.zeros((1, 2))
+    )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         X = pdf[[sx, sy]].to_numpy(dtype=float)
         k = len(X)
         if k < min_neighbors:
-            return pd.DataFrame([{tid: pdf[tid].iloc[0], **{c: None for c in value_cols}}])
+            row = {tid: pdf[tid].iloc[0], **{c: None for c in value_cols}}
+            if prob:
+                row.update({f"{c}_var": None for c in value_cols})
+            return pd.DataFrame([row])
         D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
         A = np.empty((k + 1, k + 1))
         A[:k, :k] = gamma(D)
         A[k, :k] = 1.0
         A[:k, k] = 1.0
         A[k, k] = 0.0
-        d0 = np.sqrt(
-            (X[:, 0] - pdf[tx].iloc[0]) ** 2 + (X[:, 1] - pdf[ty].iloc[0]) ** 2
-        )
-        b = np.concatenate([gamma(d0), [1.0]])
+        c0 = np.array([pdf[tx].iloc[0], pdf[ty].iloc[0]])
+        # block support: average γ over the quadrature offsets (point
+        # support is the single zero offset)
+        g0 = np.zeros(k)
+        for off in offs:
+            d0 = np.sqrt(((X - (c0 + off)) ** 2).sum(-1))
+            g0 += gamma(d0)
+        g0 /= len(offs)
+        b = np.concatenate([g0, [1.0]])
         try:
-            lam = np.linalg.solve(A, b)[:k]
+            w = np.linalg.solve(A, b)
         except np.linalg.LinAlgError:
-            lam = np.linalg.lstsq(A, b, rcond=None)[0][:k]
+            w = np.linalg.lstsq(A, b, rcond=None)[0]
+        lam, nu = w[:k], w[k]
+        var = float(lam @ g0 + nu)
         row = {tid: pdf[tid].iloc[0]}
         for c in value_cols:
             z = pdf[f"s_{c}"].to_numpy(dtype=float)
             m = ~np.isnan(z)
             if not m.any():
                 row[c] = None
+                if prob:
+                    row[f"{c}_var"] = None
             elif m.all():
                 row[c] = float(lam @ z)
+                if prob:
+                    row[f"{c}_var"] = var
             else:
                 # renormalize weights over non-null samples
                 lm = lam[m]
                 ssum = lm.sum()
                 row[c] = float((lm / ssum) @ z[m]) if abs(ssum) > 1e-15 else None
+                if prob:
+                    row[f"{c}_var"] = var if abs(ssum) > 1e-15 else None
         return pd.DataFrame([row])
 
     return pairs.select(*cols).groupBy(tid).applyInPandas(solve, schema)

@@ -62,11 +62,25 @@ Model = Union[NN, IDW, Kriging]
 
 
 def interpolate_pairs_reduce(
-    pairs: DataFrame, model: Model, value_cols: Sequence[str], tid: str, min_neighbors: int = 1
+    pairs: DataFrame,
+    model: Model,
+    value_cols: Sequence[str],
+    tid: str,
+    min_neighbors: int = 1,
+    prob: bool = False,
+    support_offsets=None,
 ) -> DataFrame:
     """Reduce neighbor pairs per target under the model."""
+    if prob and not isinstance(model, Kriging):
+        raise ValueError(
+            "prob=True requires a Kriging model (the reference's predictprob "
+            "is only defined for probabilistic models)"
+        )
     if isinstance(model, Kriging):
-        out = kriging_reduce(pairs, model, value_cols, tid, min_neighbors=min_neighbors)
+        out = kriging_reduce(
+            pairs, model, value_cols, tid, min_neighbors=min_neighbors,
+            prob=prob, support_offsets=support_offsets,
+        )
     else:
         exprs = model.agg_exprs(value_cols, sid="s_row_id")
         aggs = [exprs[c].alias(c) for c in value_cols] + [F.count("*").alias("_n")]
@@ -81,12 +95,33 @@ def interpolate_pairs_reduce(
     return out
 
 
+def _support_offsets(target, point: bool, quad: int = 2):
+    """Quadrature offsets for block support (reference ``point=false``):
+    a quad×quad centroid grid inside the target cell.  Point support (the
+    default) and non-grid targets (no geometry extent) use the centroid."""
+    if point or not isinstance(target, GridMeta):
+        return None
+    sx, sy = target.sx, target.sy
+    return [
+        (sx * ((a + 0.5) / quad - 0.5), sy * ((b + 0.5) / quad - 0.5))
+        for a in range(quad)
+        for b in range(quad)
+    ]
+
+
 @dataclass
 class Interpolate:
-    """Global interpolation with all samples (reference default model NN)."""
+    """Global interpolation with all samples (reference default model NN).
+
+    ``point``/``prob`` follow src/interpolate.jl:35-58: ``point=False`` is
+    block support (Kriging RHS averaged over a cell quadrature; NN/IDW have
+    no block form and use the centroid), ``prob=True`` adds ``<var>_var``
+    kriging-variance columns (the predictive Normal's scale)."""
 
     target: Union[GridMeta, GeoTable, DataFrame]
     model: Model = field(default_factory=NN)
+    point: bool = True
+    prob: bool = False
 
     def apply(self, gt: GeoTable):
         spark = gt.df.sparkSession
@@ -111,7 +146,10 @@ class Interpolate:
                 + (F.col("t_y") - F.col("s_y")) * (F.col("t_y") - F.col("s_y"))
             ),
         )
-        reduced = interpolate_pairs_reduce(pairs, self.model, value_cols, "t_row_id")
+        reduced = interpolate_pairs_reduce(
+            pairs, self.model, value_cols, "t_row_id",
+            prob=self.prob, support_offsets=_support_offsets(self.target, self.point),
+        )
         out = tdf.join(reduced, tdf[gt.row_id] == reduced["t_row_id"], "left").drop("t_row_id")
         if isinstance(tdomain, GridDomain):
             out = out.drop("x", "y")
@@ -130,6 +168,8 @@ class InterpolateNeighbors:
     minneighbors: int = 1
     maxneighbors: int = 10
     radius: Optional[float] = None  # MetricBall neighborhood
+    point: bool = True  # block support when False (see Interpolate)
+    prob: bool = False  # kriging variance columns when True
 
     def apply(self, gt: GeoTable):
         spark = gt.df.sparkSession
@@ -148,7 +188,10 @@ class InterpolateNeighbors:
             max_radius=self.radius,
         )
         tid = f"t_{gt.row_id}"
-        reduced = interpolate_pairs_reduce(pairs, self.model, value_cols, tid, self.minneighbors)
+        reduced = interpolate_pairs_reduce(
+            pairs, self.model, value_cols, tid, self.minneighbors,
+            prob=self.prob, support_offsets=_support_offsets(self.target, self.point),
+        )
         out = tdf.join(reduced, tdf[gt.row_id] == reduced[tid], "left").drop(tid)
         if isinstance(tdomain, GridDomain):
             out = out.drop("x", "y")

