@@ -85,22 +85,26 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
 
     stage_t = {}
     t0 = time.perf_counter()
-    imgs = synthetic_images(spark, n_images, partitions=4 * cpus).persist()
+    imgs = synthetic_images(spark, n_images, partitions=4 * cpus)
+    # ONE shuffle-free pass: synthesis → per-tile Sobel → anchor projection.
+    # The image bytes (4 KB/row) never persist anywhere — gradient_packed
+    # carries the narrow phash forward, so the georeference derives from the
+    # summary table instead of a multi-GB cached binary column (which evicted
+    # shuffle blocks and was the dominant memory traffic at 2M images).
     t = time.perf_counter()
-    n_g = gradient_packed(imgs).count()
+    pts = (
+        gradient_packed(imgs, carry=("phash",))
+        .select(
+            F.col("image_id"),
+            F.xxhash64("image_id").alias("row_id"),
+            ((F.shiftrightunsigned("phash", 15) % 100000) / 100000.0).alias("x"),
+            ((F.col("phash") % 32768) / 32768.0).alias("y"),
+            F.col("phash"),
+        )
+        .persist()
+    )
+    n_g = pts.count()
     stage_t["synth+gradient"] = round(time.perf_counter() - t, 2)
-    pts = imgs.select(
-        F.col("image_id"),
-        F.xxhash64("image_id").alias("row_id"),
-        ((F.shiftrightunsigned("phash", 15) % 100000) / 100000.0).alias("x"),
-        ((F.col("phash") % 32768) / 32768.0).alias("y"),
-        F.col("phash"),
-    ).persist()
-    # materialize the (small) anchor table, then free the image bytes —
-    # keeping multi-GB binary payloads cached through the join stages
-    # evicts shuffle blocks and forces spills at higher parallelism
-    pts.count()
-    imgs.unpersist()
     t = time.perf_counter()
     nn = knn_join(
         pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=20_000
@@ -111,7 +115,6 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
     n_uc = unique_coords_df(pts.drop("image_id"), ("x", "y")).count()
     stage_t["unique"] = round(time.perf_counter() - t, 2)
     sec = time.perf_counter() - t0
-    imgs.unpersist()
     pts.unpersist()
     return {
         "images": n_images,

@@ -381,12 +381,23 @@ def _bcast_targets_scan(
 
     tpdf = t_small.toPandas()
     n_t = len(tpdf)
+    t_fields = t_small.schema.fields
+    s_fields = s.schema.fields
+    if n_t == 0:
+        # no targets (e.g. the dedup fast path when EVERY coordinate is
+        # duplicated): emit an empty frame with the join's output schema
+        spark = t_small.sparkSession
+        from pyspark.sql import types as _T
+
+        empty_schema = _T.StructType(
+            list(t_fields) + list(s_fields)
+            + [_T.StructField("dist", _T.DoubleType()), _T.StructField("rank", _T.IntegerType())]
+        )
+        return spark.createDataFrame([], empty_schema)
     T = tpdf[list(tc)].to_numpy(dtype=float)
     t_ids = tpdf[tid].to_numpy()
     t_cols = {c: tpdf[c].to_numpy() for c in tpdf.columns}
 
-    t_fields = t_small.schema.fields
-    s_fields = s.schema.fields
     CHUNK = 1 << 22  # ≤ ~32 MB distance block per (target-chunk × batch)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -468,6 +479,91 @@ def _bcast_targets_scan(
     )
 
 
+def _selfjoin_dedup_1nn(
+    df: DataFrame,
+    id_col: str,
+    coords,
+    carry,
+    *,
+    rows_per_cell,
+    salt_threshold,
+    broadcast_threshold,
+    finish_threshold,
+) -> DataFrame:
+    """Exact 1-NN self-join (exclude self) on duplicate-heavy data via
+    UniqueCoords-style compression — the dedup workload's dominant pattern.
+
+    * Rows sharing an exact coordinate with ≥2 rows resolve WITHOUT any
+      spatial search: their 1-NN is the smallest-id coincident row other
+      than self, at distance exactly 0 (nothing at a different coordinate
+      can beat 0, and ties at 0 break by s_id).
+    * Singleton-coordinate rows search the generic cell path against ONE
+      row per unique coordinate (only the min-id row at a coordinate can
+      win a (dist, s_id) tie-break there) — both join sides shrink by the
+      duplicate mass.
+
+    One coordinate window + the reduced search replaces the full ladder.
+    """
+    s = _prefixed(df, "s_", coords, id_col, carry)
+    sc = [f"s_{c}" for c in coords]
+    sid = f"s_{id_col}"
+    tid = f"t_{id_col}"
+    ren = {c: "t_" + c[2:] for c in s.columns}
+
+    w_rn = Window.partitionBy(*sc).orderBy(sid)
+    w_all = Window.partitionBy(*sc)
+    marked = (
+        s.withColumn("_rn", F.row_number().over(w_rn))
+        .withColumn("_cnt", F.count("*").over(w_all))
+        .persist()
+    )
+
+    # ---- pile rows: coincident resolution, no search --------------------
+    top2 = marked.filter(F.col("_rn") <= 2).select(*s.columns)
+    piles_t = marked.filter(F.col("_cnt") >= 2).select(
+        *[F.col(c).alias(ren[c]) for c in s.columns]
+    )
+    cond = None
+    for c in coords:
+        eq = F.col(f"t_{c}") == F.col(f"s_{c}")
+        cond = eq if cond is None else (cond & eq)
+    pairs = piles_t.join(top2, cond).filter(F.col(sid) != F.col(tid))
+    s_payload = [c for c in s.columns if c != sid]
+    t_cols = [ren[c] for c in s.columns]
+    pile_out = (
+        pairs.groupBy(*t_cols)
+        .agg(F.min(F.struct(F.col(sid), *[F.col(c) for c in s_payload])).alias("_b"))
+        .select(
+            *t_cols,
+            F.col(f"_b.{sid}").alias(sid),
+            *[F.col(f"_b.{c}").alias(c) for c in s_payload],
+            F.lit(0.0).alias("dist"),
+            F.lit(1).alias("rank"),
+        )
+    )
+
+    # ---- singleton rows: reduced generic search -------------------------
+    raw_cols = [id_col, *coords, *carry]
+    singles_raw = marked.filter(F.col("_cnt") == 1).select(
+        *[F.col(f"s_{c}").alias(c) for c in dict.fromkeys(raw_cols)]
+    )
+    uniq_raw = marked.filter(F.col("_rn") == 1).select(
+        *[F.col(f"s_{c}").alias(c) for c in dict.fromkeys(raw_cols)]
+    )
+    inner = knn_join(
+        singles_raw, uniq_raw, 1,
+        t_id=id_col, s_id=id_col, t_coords=coords, s_coords=coords,
+        t_carry=carry, s_carry=carry, exclude_same_id=True,
+        rows_per_cell=rows_per_cell, salt_threshold=salt_threshold,
+        broadcast_threshold=broadcast_threshold, finish_threshold=finish_threshold,
+    )
+
+    out = pile_out.unionByName(inner.select(*pile_out.columns))
+    out = out.localCheckpoint(eager=True)
+    marked.unpersist()
+    return out
+
+
 def knn_join(
     targets: DataFrame,
     sources: DataFrame,
@@ -499,10 +595,39 @@ def knn_join(
     (src/utils.jl:6, src/modefilter.jl:22).
 
     Physical strategy selection (the engine's §3.1-step-3 dispatch):
+    * self-join 1-NN with abundant exact-duplicate coordinates →
+      `_selfjoin_dedup_1nn` (UniqueCoords-style compression: coincident
+      rows resolve at distance 0 with no spatial search; only singleton
+      coordinates search, against one row per unique coordinate);
     * sources ≤ broadcast_threshold → `_broadcast_knn` (one narrow pass);
     * otherwise → cell-ring candidate join with driver-looped exact
       ring expansion and optional hot-cell salting.
     """
+    if (
+        k == 1
+        and exclude_same_id
+        and max_radius is None
+        and targets is sources
+        and t_id == s_id
+        and tuple(t_coords) == tuple(s_coords)
+        and tuple(t_carry) == tuple(s_carry)
+    ):
+        spark_df = targets
+        # one narrow agg decides whether compression pays (≥10% duplicate
+        # coordinate mass); without duplicates the coordinate window would be
+        # a pure extra shuffle in front of an identical search
+        stats = spark_df.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct(F.struct(*[F.col(c) for c in t_coords])).alias("u"),
+        ).first()
+        if stats["n"] and stats["u"] <= 0.9 * stats["n"]:
+            return _selfjoin_dedup_1nn(
+                targets, t_id, t_coords, t_carry,
+                rows_per_cell=rows_per_cell, salt_threshold=salt_threshold,
+                broadcast_threshold=broadcast_threshold,
+                finish_threshold=finish_threshold,
+            )
+
     t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
     s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
     tc = [f"t_{c}" for c in t_coords]

@@ -10,7 +10,7 @@ from .rasterize import Rasterize
 from .potrace import Potrace
 from .detrend import Detrend
 from .seqfilters import ModeFilter, Quenching, MaxPosterior
-from .tabletransforms import Filter, OneHot, Only, Reject, Select, StdFeats
+from .tabletransforms import AbsoluteUnits, Filter, OneHot, Only, Reject, Select, StdFeats
 
 __all__ = [
     "UniqueCoords",
@@ -36,4 +36,5 @@ __all__ = [
     "Filter",
     "OneHot",
     "StdFeats",
+    "AbsoluteUnits",
 ]

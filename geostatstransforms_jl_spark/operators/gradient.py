@@ -104,11 +104,20 @@ class Gradient:
     __call__ = apply
 
 
-def gradient_packed(images: DataFrame, stats: bool = True) -> DataFrame:
+def gradient_packed(images: DataFrame, stats: bool = True, carry=()) -> DataFrame:
     """Packed image-table fast path: (image_id, bytes, w, h, fmt) →
     per-image gradient summary (mean |∇|, max |∇|) without exploding pixels.
-    One narrow mapInPandas pass — the plan a 10¹²-row table needs."""
+    One narrow mapInPandas pass — the plan a 10¹²-row table needs.
+
+    ``carry`` columns pass through to the output so downstream stages
+    (georeference, spatial join) can consume the summary WITHOUT re-reading
+    or caching the wide binary table — at bench scale the 4 KB/image bytes
+    column is the dominant memory traffic, and carrying the few narrow
+    columns forward lets the whole synthesis→Sobel→anchor pipeline stay one
+    shuffle-free codegen'd stage."""
     from ..core.png import decode_image
+
+    carry = [c for c in carry if c != "image_id"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,15 +128,18 @@ def gradient_packed(images: DataFrame, stats: bool = True) -> DataFrame:
                     pix = pix.mean(axis=2)
                 g0, g1 = sobel_tile(pix.T)  # [i, j] layout
                 mag = np.hypot(g0, g1)
-                rows.append(
-                    {
-                        "image_id": r.image_id,
-                        "grad_mean": float(mag.mean()),
-                        "grad_max": float(mag.max()),
-                    }
-                )
+                row = {
+                    "image_id": r.image_id,
+                    "grad_mean": float(mag.mean()),
+                    "grad_max": float(mag.max()),
+                }
+                for c in carry:
+                    row[c] = getattr(r, c)
+                rows.append(row)
             yield pd.DataFrame(rows)
 
-    return images.select("image_id", "bytes", "fmt").mapInPandas(
-        run, "image_id string, grad_mean double, grad_max double"
+    types = {f.name: f.dataType.simpleString() for f in images.schema.fields}
+    schema = "image_id string, grad_mean double, grad_max double" + "".join(
+        f", {c} {types[c]}" for c in carry
     )
+    return images.select("image_id", "bytes", "fmt", *carry).mapInPandas(run, schema)

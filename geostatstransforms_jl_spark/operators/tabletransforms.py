@@ -167,3 +167,67 @@ class StdFeats:
         return gt.with_df(df)
 
     __call__ = apply
+
+
+# affine unit conversions to absolute/SI base units: unit → (scale, offset)
+# with value_abs = scale · value + offset (the reference's AbsoluteUnits()
+# pipe, src/utils.jl:27-31 — Unitful's °C→K is the canonical affine case,
+# tested in reference test/uniquecoords.jl:97-117)
+_AFFINE_UNITS = {
+    "K": (1.0, 0.0),
+    "degC": (1.0, 273.15),
+    "degF": (5.0 / 9.0, 273.15 - 32.0 * 5.0 / 9.0),
+    "m": (1.0, 0.0),
+    "km": (1000.0, 0.0),
+    "cm": (0.01, 0.0),
+    "mm": (0.001, 0.0),
+    "ft": (0.3048, 0.0),
+    "mi": (1609.344, 0.0),
+    "s": (1.0, 0.0),
+    "min": (60.0, 0.0),
+    "h": (3600.0, 0.0),
+    "g": (0.001, 0.0),
+    "kg": (1.0, 0.0),
+    "lb": (0.45359237, 0.0),
+    "Pa": (1.0, 0.0),
+    "bar": (100000.0, 0.0),
+    "atm": (101325.0, 0.0),
+}
+
+
+def absolute_units_df(df, units: "dict[str, str]"):
+    """Normalize affine-united columns to absolute base units at ingest —
+    the engine's stand-in for the reference's `AbsoluteUnits()` pipe run
+    before every numeric transform (SURVEY.md §1.4 documents the contract:
+    the engine fixes SI units at ingest; this helper does the fixing).
+
+    `units` maps column → source unit (e.g. ``{"temp": "degC"}``).  Pure
+    Catalyst projections — zero extra passes.
+    """
+    exprs = []
+    for c in df.columns:
+        if c in units:
+            u = units[c]
+            if u not in _AFFINE_UNITS:
+                raise ValueError(f"unknown unit {u!r} for column {c!r}")
+            a, b = _AFFINE_UNITS[u]
+            e = F.col(c).cast("double") * F.lit(a) + F.lit(b)
+            exprs.append(e.alias(c))
+        else:
+            exprs.append(F.col(c))
+    return df.select(*exprs)
+
+
+@dataclass
+class AbsoluteUnits:
+    """Pipeline stage: affine-normalize united columns (°C→K etc.) so every
+    downstream aggregate (mean of temperatures, kriging on mixed sources)
+    operates on absolute scales, as the reference guarantees by piping all
+    inputs through Unitful's absoluteunit (src/utils.jl:27-31)."""
+
+    units: "dict[str, str]"
+
+    def apply(self, gt: GeoTable):
+        return gt.with_df(absolute_units_df(gt.df, self.units)), None
+
+    __call__ = apply

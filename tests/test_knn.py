@@ -281,3 +281,54 @@ def test_radius3d_exact(spark, pts3d):
     for t in range(0, 4000, 241):
         expect = set(np.flatnonzero(D[t] <= 1.5).tolist())
         assert got.get(t, set()) == expect
+
+
+def test_selfjoin_dedup_fast_path_matches_generic(spark):
+    """The duplicate-compression self-join fast path must equal the generic
+    path row-for-row (same ids, dists, tie-breaks) on pile-heavy data."""
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    n = 9000
+    # 60% of rows on a small lattice (heavy exact duplicates), rest unique
+    lat = rng.integers(0, 30, size=(n, 2)).astype(float)
+    uni = rng.random((n, 2)) * 100
+    pick = rng.random(n) < 0.6
+    xy = np.where(pick[:, None], lat, uni)
+    pdf = pd.DataFrame({
+        "row_id": np.arange(n, dtype=np.int64),
+        "x": xy[:, 0], "y": xy[:, 1],
+        "v": (np.arange(n) % 7).astype(float),
+    })
+    df = spark.createDataFrame(pdf).repartition(8).persist()
+    df.count()
+    fast = knn_join(df, df, k=1, exclude_same_id=True, t_carry=("v",), s_carry=("v",))
+    # distinct objects defeat the self-join detection → generic path
+    df2 = df.select("*")
+    slow = knn_join(df, df2, k=1, exclude_same_id=True, t_carry=("v",), s_carry=("v",))
+    a = {r["t_row_id"]: (r["s_row_id"], round(r["dist"], 9), r["s_v"]) for r in fast.collect()}
+    b = {r["t_row_id"]: (r["s_row_id"], round(r["dist"], 9), r["s_v"]) for r in slow.collect()}
+    assert a == b
+    df.unpersist()
+
+
+def test_selfjoin_all_duplicates_no_singletons(spark):
+    """Regression: when EVERY coordinate is duplicated the dedup fast path
+    has zero singleton targets — the inner search must return an empty
+    frame instead of crashing on an empty broadcast."""
+    import pandas as pd
+
+    rows = []
+    for i in range(3000):
+        coord = i // 2  # every coordinate shared by exactly 2 rows
+        rows.append((i, float(coord % 50), float(coord // 50)))
+    pdf = pd.DataFrame(rows, columns=["row_id", "x", "y"])
+    df = spark.createDataFrame(pdf).repartition(6).persist()
+    df.count()
+    out = knn_join(df, df, k=1, exclude_same_id=True)
+    got = {r["t_row_id"]: (r["s_row_id"], r["dist"]) for r in out.collect()}
+    assert len(got) == 3000
+    for i in range(0, 3000, 2):
+        assert got[i] == (i + 1, 0.0)
+        assert got[i + 1] == (i, 0.0)
+    df.unpersist()
