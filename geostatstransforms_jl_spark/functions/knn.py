@@ -558,10 +558,13 @@ def _selfjoin_dedup_1nn(
         broadcast_threshold=broadcast_threshold, finish_threshold=finish_threshold,
     )
 
-    out = pile_out.unionByName(inner.select(*pile_out.columns))
-    out = out.localCheckpoint(eager=True)
+    # the generic path has already materialized `inner` (its own eager
+    # checkpoint) in the ladder case, so only the pile branch still
+    # references `marked` — checkpoint just that branch instead of
+    # re-materializing the whole union (saves a second full-result write).
+    pile_out = pile_out.localCheckpoint(eager=True)
     marked.unpersist()
-    return out
+    return pile_out.unionByName(inner.select(*pile_out.columns))
 
 
 def knn_join(

@@ -33,6 +33,7 @@ immutability, which hold exactly.
 
 from __future__ import annotations
 
+import math
 import zlib
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
@@ -45,20 +46,31 @@ from pyspark.sql import functions as F
 from ..core.geotable import GeoTable, GridDomain
 
 
-def _neighbor_offsets(maxneighbors: int):
+def _neighbor_offsets(maxneighbors: int, ndim: int = 2):
     """Grid cell offsets sorted by (distance, offset order) covering at least
-    maxneighbors cells — the KNearestSearch analogue on a grid."""
+    maxneighbors cells — the KNearestSearch analogue on a grid.  n-D like the
+    reference (maxneighbors=26 IS the 3-D Moore neighborhood,
+    src/modefilter.jl:22)."""
+    import itertools
+
     r = 1
-    while (2 * r + 1) ** 2 - 1 < maxneighbors * 2:
+    while (2 * r + 1) ** ndim - 1 < maxneighbors * 2:
         r += 1
     offs = [
-        (di, dj)
-        for di in range(-r, r + 1)
-        for dj in range(-r, r + 1)
-        if (di, dj) != (0, 0)
+        o for o in itertools.product(range(-r, r + 1), repeat=ndim)
+        if any(c != 0 for c in o)
     ]
-    offs.sort(key=lambda o: (o[0] ** 2 + o[1] ** 2, o[0], o[1]))
+    offs.sort(key=lambda o: (sum(c * c for c in o), *o))
     return offs
+
+
+def _lin_index(idx, dims):
+    """Column-major linear cell index like the reference's grid linearization
+    (i + nx·(j + ny·k …))."""
+    lin = idx[-1]
+    for a in range(len(idx) - 2, -1, -1):
+        lin = lin * dims[a] + idx[a]
+    return lin
 
 
 def _decay(kind: str, h: np.ndarray, rng_: float) -> np.ndarray:
@@ -84,9 +96,8 @@ def _mode_smallest(levels: np.ndarray, vals: np.ndarray):
 
 
 def _tile_runner(df, run_tile, out_schema, index_cols, tile_col, keep_cols):
-    ic, jc = index_cols
     keys = [tile_col] if tile_col else []
-    sel = keys + [ic, jc] + keep_cols
+    sel = keys + list(index_cols) + keep_cols
     if keys:
         return df.select(*sel).groupBy(*keys).applyInPandas(run_tile, out_schema)
     d = df.select(*sel).withColumn("_t", F.lit(0))
@@ -114,9 +125,13 @@ def mode_filter_df(
     index_cols=("i", "j"),
     tile_col: Optional[str] = None,
     nx: Optional[int] = None,
+    dims: Optional[Sequence[int]] = None,
 ) -> DataFrame:
-    ic, jc = index_cols
-    offs = _neighbor_offsets(maxneighbors)
+    """n-D like the reference (2-D ``("i","j")`` or 3-D ``("i","j","k")``
+    index columns); ``dims``/``nx`` fix the linearization used by `skip`."""
+    icols = list(index_cols)
+    nd = len(icols)
+    offs = _neighbor_offsets(maxneighbors, nd)
     skip_set = set(int(s) for s in skip)
     dtype = df.schema[var].dataType.simpleString()
 
@@ -125,42 +140,41 @@ def mode_filter_df(
         # nondeterministic across runs.  The visit order below is built from
         # row order, so sort first: the seeded shuffle must permute a STABLE
         # base order or the sequential feedback loop isn't reproducible (P14).
-        pdf = pdf.sort_values([ic, jc], ignore_index=True)
+        pdf = pdf.sort_values(icols, ignore_index=True)
         rng = np.random.default_rng(_tile_seed(pdf, tile_col, seed))
-        ii = pdf[ic].to_numpy()
-        jj = pdf[jc].to_numpy()
-        tnx, tny = ii.max() + 1, jj.max() + 1
-        grid = np.empty((tnx, tny), dtype=object)
-        present = np.zeros((tnx, tny), dtype=bool)
-        grid[ii, jj] = pdf[var].to_numpy()
-        present[ii, jj] = True
+        idx = [pdf[c].to_numpy() for c in icols]
+        shape = tuple(int(a.max()) + 1 for a in idx)
+        grid = np.empty(shape, dtype=object)
+        present = np.zeros(shape, dtype=bool)
+        grid[tuple(idx)] = pdf[var].to_numpy()
+        present[tuple(idx)] = True
         levels = np.array(sorted(set(pdf[var].dropna().tolist())))
-        lin_nx = nx if nx is not None else tnx
-        order = [
-            (i, j)
-            for (i, j) in zip(ii.tolist(), jj.tolist())
-            if (i + j * lin_nx) not in skip_set
-        ]
+        lin_dims = tuple(dims) if dims is not None else (
+            (nx,) + shape[1:] if nx is not None else shape
+        )
+        cells = list(zip(*[a.tolist() for a in idx]))
+        order = [c for c in cells if _lin_index(c, lin_dims) not in skip_set]
         rng.shuffle(order)
-        for (i, j) in order:
+        for c in order:
             nb = []
-            for (di, dj) in offs:
-                a, b = i + di, j + dj
-                if 0 <= a < tnx and 0 <= b < tny and present[a, b]:
-                    nb.append(grid[a, b])
+            for off in offs:
+                p = tuple(c[a] + off[a] for a in range(nd))
+                if all(0 <= p[a] < shape[a] for a in range(nd)) and present[p]:
+                    nb.append(grid[p])
                     if len(nb) >= maxneighbors:
                         break
             if len(nb) <= 1:
                 continue
-            grid[i, j] = _mode_smallest(levels, np.array(nb, dtype=object))
+            grid[c] = _mode_smallest(levels, np.array(nb, dtype=object))
         out = pdf.copy()
-        out[var] = [grid[a, b] for a, b in zip(ii, jj)]
+        out[var] = [grid[c] for c in cells]
         return out
 
     keep = [var]
     schema = ", ".join(
         ([f"{tile_col} string"] if tile_col else [])
-        + [f"{ic} int", f"{jc} int", f"{var} {dtype}"]
+        + [f"{c} int" for c in icols]
+        + [f"{var} {dtype}"]
     )
     return _tile_runner(df, run_tile, schema, index_cols, tile_col, keep)
 
@@ -176,46 +190,50 @@ def max_posterior_df(
     index_cols=("i", "j"),
     tile_col: Optional[str] = None,
     nx: Optional[int] = None,
+    dims: Optional[Sequence[int]] = None,
 ) -> DataFrame:
     """Indicator-kriging MAP replacement.  Neighbor reads use the immutable
     one-hot snapshot of the input (src/maxposterior.jl:62-67), so results are
-    independent of sweep order."""
-    ic, jc = index_cols
-    offs = _neighbor_offsets(maxneighbors)
+    independent of sweep order.  n-D index columns like ModeFilter."""
+    icols = list(index_cols)
+    nd = len(icols)
+    offs = _neighbor_offsets(maxneighbors, nd)
     skip_set = set(int(s) for s in skip)
     dtype = df.schema[var].dataType.simpleString()
     ball_r = float(range_)
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ic, jc], ignore_index=True)  # stable order (P14)
-        ii = pdf[ic].to_numpy()
-        jj = pdf[jc].to_numpy()
-        tnx, tny = ii.max() + 1, jj.max() + 1
+        pdf = pdf.sort_values(icols, ignore_index=True)  # stable order (P14)
+        idx = [pdf[c].to_numpy() for c in icols]
+        shape = tuple(int(a.max()) + 1 for a in idx)
         vals = pdf[var].to_numpy()
         levels = sorted(set(pdf[var].dropna().tolist()))
         lev_idx = {l: q for q, l in enumerate(levels)}
-        grid_lab = -np.ones((tnx, tny), dtype=np.int64)
-        grid_lab[ii, jj] = [lev_idx[v] for v in vals]
-        onehot = np.zeros((len(levels), tnx, tny))
+        grid_lab = -np.ones(shape, dtype=np.int64)
+        grid_lab[tuple(idx)] = [lev_idx[v] for v in vals]
+        onehot = np.zeros((len(levels),) + shape)
         for q in range(len(levels)):
             onehot[q] = grid_lab == q
-        lin_nx = nx if nx is not None else tnx
+        lin_dims = tuple(dims) if dims is not None else (
+            (nx,) + shape[1:] if nx is not None else shape
+        )
         newlab = grid_lab.copy()
-        in_ball = [(di, dj) for (di, dj) in offs if np.hypot(di, dj) <= ball_r]
-        for (i, j) in zip(ii.tolist(), jj.tolist()):
-            if (i + j * lin_nx) in skip_set:
+        in_ball = [o for o in offs if math.sqrt(sum(c * c for c in o)) <= ball_r]
+        cells = list(zip(*[a.tolist() for a in idx]))
+        for cell in cells:
+            if _lin_index(cell, lin_dims) in skip_set:
                 continue
             nb = []
-            for (di, dj) in in_ball:
-                a, b = i + di, j + dj
-                if 0 <= a < tnx and 0 <= b < tny and grid_lab[a, b] >= 0:
-                    nb.append((a, b))
+            for off in in_ball:
+                p = tuple(cell[a] + off[a] for a in range(nd))
+                if all(0 <= p[a] < shape[a] for a in range(nd)) and grid_lab[p] >= 0:
+                    nb.append(p)
                     if len(nb) >= maxneighbors:
                         break
             if len(nb) <= 1:
                 continue
             P = np.array(nb, dtype=float)
-            c = np.array([i, j], dtype=float)
+            c0 = np.array(cell, dtype=float)
             # ordinary indicator kriging with γ = 1 − c(h)
             k = len(nb)
             H = np.sqrt(((P[:, None, :] - P[None, :, :]) ** 2).sum(-1))
@@ -225,26 +243,27 @@ def max_posterior_df(
             A[k, :k] = 1.0
             A[:k, k] = 1.0
             A[k, k] = 0.0
-            h0 = np.sqrt(((P - c) ** 2).sum(-1))
+            h0 = np.sqrt(((P - c0) ** 2).sum(-1))
             b_ = np.concatenate([1.0 - _decay(variogram, h0, ball_r), [1.0]])
             try:
                 lam = np.linalg.solve(A, b_)[:k]
             except np.linalg.LinAlgError:
                 lam = np.linalg.lstsq(A, b_, rcond=None)[0][:k]
-            zs = np.array([[onehot[q, a, b] for (a, b) in nb] for q in range(len(levels))])
+            zs = np.array([[onehot[(q,) + p] for p in nb] for q in range(len(levels))])
             prob = zs @ lam
             prob = np.clip(prob, 0.0, 1.0)
             s = prob.sum()
             if s <= 0:
                 continue
-            newlab[i, j] = int(np.argmax(prob / s))
+            newlab[cell] = int(np.argmax(prob / s))
         out = pdf.copy()
-        out[var] = [levels[newlab[a, b]] for a, b in zip(ii, jj)]
+        out[var] = [levels[newlab[c]] for c in cells]
         return out
 
     schema = ", ".join(
         ([f"{tile_col} string"] if tile_col else [])
-        + [f"{ic} int", f"{jc} int", f"{var} {dtype}"]
+        + [f"{c} int" for c in icols]
+        + [f"{var} {dtype}"]
     )
     return _tile_runner(df, run_tile, schema, index_cols, tile_col, [var])
 
@@ -262,30 +281,33 @@ def quenching_df(
     index_cols=("i", "j"),
     tile_col: Optional[str] = None,
     nx: Optional[int] = None,
+    dims: Optional[Sequence[int]] = None,
 ) -> DataFrame:
-    ic, jc = index_cols
-    offs = _neighbor_offsets(maxneighbors)
+    icols = list(index_cols)
+    nd = len(icols)
+    offs = _neighbor_offsets(maxneighbors, nd)
     skip_set = set(int(s) for s in skip)
     dtype = df.schema[var].dataType.simpleString()
     ball_r = float(range_)
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ic, jc], ignore_index=True)  # stable order (P14)
+        pdf = pdf.sort_values(icols, ignore_index=True)  # stable order (P14)
         rng = np.random.default_rng(_tile_seed(pdf, tile_col, seed))
-        ii = pdf[ic].to_numpy()
-        jj = pdf[jc].to_numpy()
-        tnx, tny = ii.max() + 1, jj.max() + 1
+        idx = [pdf[c].to_numpy() for c in icols]
+        shape = tuple(int(a.max()) + 1 for a in idx)
         vals = pdf[var].to_numpy()
         levels = sorted(set(pdf[var].dropna().tolist()))
         L = len(levels)
         lev_idx = {l: q for q, l in enumerate(levels)}
-        grid = -np.ones((tnx, tny), dtype=np.int64)
-        grid[ii, jj] = [lev_idx[v] for v in vals]
+        grid = -np.ones(shape, dtype=np.int64)
+        grid[tuple(idx)] = [lev_idx[v] for v in vals]
         props = np.array([(grid == q).sum() for q in range(L)], dtype=float)
         props /= props.sum()
-        lin_nx = nx if nx is not None else tnx
-        in_ball = [(di, dj) for (di, dj) in offs if np.hypot(di, dj) <= ball_r]
-        lags = sorted({round(np.hypot(di, 0), 6) for di in range(1, int(np.ceil(ball_r)) + 1)})
+        lin_dims = tuple(dims) if dims is not None else (
+            (nx,) + shape[1:] if nx is not None else shape
+        )
+        in_ball = [o for o in offs if math.sqrt(sum(c * c for c in o)) <= ball_r]
+        lags = sorted({float(d_) for d_ in range(1, int(np.ceil(ball_r)) + 1)})
 
         def tau(h):
             c = _decay(variogram, np.array([h]), ball_r)[0]
@@ -298,14 +320,14 @@ def quenching_df(
             transition frequencies within `cells` and τ."""
             cellset = set(cells)
             total = 0.0
-            for axis in (0, 1):
+            for axis in range(nd):
                 for h in lags:
-                    step = (int(h), 0) if axis == 0 else (0, int(h))
+                    step = tuple(int(h) if a == axis else 0 for a in range(nd))
                     cnt = np.zeros((L, L))
-                    for (a, b) in cells:
-                        nb = (a + step[0], b + step[1])
-                        if nb in cellset:
-                            q1, q2 = grid[a, b], grid[nb]
+                    for cell in cells:
+                        nbp = tuple(cell[a] + step[a] for a in range(nd))
+                        if nbp in cellset:
+                            q1, q2 = grid[cell], grid[nbp]
                             if q1 >= 0 and q2 >= 0:
                                 cnt[q1, q2] += 1
                     rows = cnt.sum(axis=1, keepdims=True)
@@ -317,46 +339,44 @@ def quenching_df(
                     total += ((emp - T) ** 2)[rows[:, 0] > 0].sum()
             return total
 
-        changeable = [
-            (i, j)
-            for (i, j) in zip(ii.tolist(), jj.tolist())
-            if (i + j * lin_nx) not in skip_set
-        ]
+        cells_all = list(zip(*[a.tolist() for a in idx]))
+        changeable = [c for c in cells_all if _lin_index(c, lin_dims) not in skip_set]
         for _ in range(maxiter):
             keepgoing = False
             order = list(changeable)
             rng.shuffle(order)
-            for (i, j) in order:
-                nb = [(i, j)]
-                for (di, dj) in in_ball:
-                    a, b = i + di, j + dj
-                    if 0 <= a < tnx and 0 <= b < tny and grid[a, b] >= 0:
-                        nb.append((a, b))
+            for cell in order:
+                nb = [cell]
+                for off in in_ball:
+                    p = tuple(cell[a] + off[a] for a in range(nd))
+                    if all(0 <= p[a] < shape[a] for a in range(nd)) and grid[p] >= 0:
+                        nb.append(p)
                         if len(nb) > maxneighbors:
                             break
                 if len(nb) <= 2:
                     continue
-                nvals = np.array([levels[grid[a, b]] for (a, b) in nb[1:]], dtype=object)
+                nvals = np.array([levels[grid[p]] for p in nb[1:]], dtype=object)
                 mode = lev_idx[_mode_smallest(np.array(levels, dtype=object), nvals)]
-                old = grid[i, j]
+                old = grid[cell]
                 if mode == old:
                     continue
                 obj = objective(nb)
-                grid[i, j] = mode
+                grid[cell] = mode
                 newobj = objective(nb)
                 if obj > 0 and abs(newobj - obj) / obj >= tol:
                     keepgoing = True
                 if not (newobj < obj):
-                    grid[i, j] = old
+                    grid[cell] = old
             if not keepgoing:
                 break
         out = pdf.copy()
-        out[var] = [levels[grid[a, b]] for a, b in zip(ii, jj)]
+        out[var] = [levels[grid[c]] for c in cells_all]
         return out
 
     schema = ", ".join(
         ([f"{tile_col} string"] if tile_col else [])
-        + [f"{ic} int", f"{jc} int", f"{var} {dtype}"]
+        + [f"{c} int" for c in icols]
+        + [f"{var} {dtype}"]
     )
     return _tile_runner(df, run_tile, schema, index_cols, tile_col, [var])
 

@@ -288,3 +288,46 @@ def test_kriging_closed_form(spark):
         assert got[rid] == pytest.approx(float(lam @ z), abs=1e-9)
     # exactness at a sample location
     assert got[102] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_modefilter_3d_replay(spark):
+    """3-D ModeFilter (the reference's maxneighbors=26 IS the 3-D Moore
+    neighborhood, src/modefilter.jl:22): seeded replay on a 6×6×6 grid."""
+    import itertools
+
+    rng = np.random.default_rng(41)
+    levels = ("a", "b", "c")
+    rows = [
+        (i, j, kk, levels[rng.integers(0, 3)])
+        for kk in range(6) for j in range(6) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "i int, j int, k int, z string").repartition(4)
+    from geostatstransforms_jl_spark.operators.seqfilters import mode_filter_df
+
+    out = mode_filter_df(df, "z", maxneighbors=26, seed=3, index_cols=("i", "j", "k"))
+    got = {(r.i, r.j, r.k): r.z for r in out.collect()}
+
+    grid = {(i, j, kk): z for (i, j, kk, z) in rows}
+    levs = sorted(set(grid.values()))
+    r = 1
+    while (2 * r + 1) ** 3 - 1 < 26 * 2:
+        r += 1
+    offs = [o for o in itertools.product(range(-r, r + 1), repeat=3) if any(o)]
+    offs.sort(key=lambda o: (sum(c * c for c in o), *o))
+    order = sorted(grid)
+    rng2 = np.random.default_rng(3)
+    rng2.shuffle(order)
+    for c in order:
+        nb = []
+        for off in offs:
+            p = (c[0] + off[0], c[1] + off[1], c[2] + off[2])
+            if p in grid:
+                nb.append(grid[p])
+                if len(nb) >= 26:
+                    break
+        if len(nb) <= 1:
+            continue
+        counts = {l: sum(1 for v in nb if v == l) for l in levs}
+        top = max(counts.values())
+        grid[c] = min(l for l, cn in counts.items() if cn == top)
+    assert got == grid
