@@ -196,7 +196,7 @@ def stress(cpus: str = CPUS) -> dict:
     return out
 
 
-def calibrate(levels=("2", "8", "32")) -> dict:
+def calibrate(levels=("1", "2", "4", "8", "32")) -> dict:
     """Machine ceiling: a pure-JVM compute job (sha2 over range) at several
     parallelism levels.  This sandbox's 32 vCPUs are host-oversubscribed —
     the same work burns ~2.5× more CPU-seconds at 32 threads — so the honest
@@ -228,11 +228,13 @@ def calibrate(levels=("2", "8", "32")) -> dict:
 def run_scaling(low: str = "2", high: str = "8") -> dict:
     """Same job at two parallelism levels (N vs 4N) in fresh subprocesses
     (fresh JVMs so neither run reuses the other's caches) — the sandbox
-    substitute for N vs 4N executors per the driver instruction.  Default
-    pair is local[2]→local[8]: the machine calibration (see `calibrate`)
-    shows the host gives ~4× real CPU between those, while 8→32 is capped
-    at ~1.6× by vCPU oversubscription — a hardware ceiling no engine can
-    exceed."""
+    substitute for N vs 4N executors per the driver instruction.  Pick the
+    pair from the same-day `calibrate` ceilings: local[1]→local[4] is the
+    pair this host can truthfully provide 4× CPU for (ceiling ~0.94;
+    2→8 ≈ 0.88, 8→32 collapses under vCPU oversubscription).  Larger
+    workloads amortize the shuffle stages' bandwidth-flat cost (see
+    BENCH/BASELINE.md round-2 analysis), so run the biggest image count
+    the wall-clock allows via SPARK_GRAFT_BENCH_IMAGES."""
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "80000"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     out = {}
