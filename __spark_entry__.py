@@ -1073,8 +1073,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, ts,
-                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+                     -- CAST: DuckDB's SUM(int) is HUGEINT which pandas
+                     -- materializes as float64; Spark emits int64
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
               FROM g
             )
             SELECT user_id, session_seq,
