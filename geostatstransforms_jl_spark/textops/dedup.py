@@ -64,12 +64,36 @@ def minhash_signatures(
     return agged.select(id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
+def _cap_buckets(b: DataFrame, keys, cap: int) -> DataFrame:
+    """Drop rows whose bucket (group on `keys`) holds more than `cap` members.
+
+    A degenerate bucket of m docs yields O(m²) candidate pairs concentrated in
+    one join task — on a boilerplate-heavy corpus that is the unbounded hot
+    spot at 100 TB.  The count is one hash aggregate (map-side combine) and
+    the filter is an equi-join back on the bucket key, so the bound costs one
+    extra shuffle on keys the plan already shuffles on."""
+    cnt = b.groupBy(*keys).agg(F.count("*").alias("_bkt_n"))
+    return (
+        b.join(cnt.filter(F.col("_bkt_n") <= cap), list(keys))
+        .drop("_bkt_n")
+    )
+
+
 def minhash_lsh_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4, threshold: float = 0.7
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4,
+    threshold: float = 0.7, max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Banded LSH over signatures: documents sharing any band bucket become a
     candidate pair; estimated Jaccard = fraction of equal minhashes; pairs
-    with est ≥ threshold survive.  Output: (a, b, est_jaccard), a < b."""
+    with est ≥ threshold survive.  Output: (a, b, est_jaccard), a < b.
+
+    Buckets larger than `max_bucket_size` are skipped entirely (candidate
+    counts stay O(bands · cap²) per bucket instead of O(m²)).  Approximation
+    contract: a qualifying pair is lost only if EVERY band it collides in is
+    oversized — in practice the giant buckets are exact/boilerplate
+    duplicates, which `exact_dedup` removes upstream.  LSH is already
+    approximate-by-design; the cap only tightens the recall statement for
+    pathological buckets.  Set `max_bucket_size=None` to disable."""
     assert bands * rows <= 1000
     b = sigs.select(
         id_col,
@@ -84,6 +108,8 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        b = _cap_buckets(b, ("band", "bucket"), max_bucket_size)
     l = b.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
     r = b.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
     pairs = (
@@ -159,7 +185,8 @@ def _band_layout(bands: int):
 
 
 def simhash_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = None
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming via banded buckets.
 
@@ -168,7 +195,13 @@ def simhash_pairs(
     collides in some band — 100% recall REQUIRES bands ≥ max_hamming + 1
     (enforced; previously 4 fixed bands silently missed pairs with 4–10
     differing bits).  Bands need not divide 64: chunks are sized as evenly
-    as possible."""
+    as possible.
+
+    Buckets larger than `max_bucket_size` are skipped (see `_cap_buckets`);
+    this bounds the candidate volume but WEAKENS the pigeonhole guarantee for
+    pairs whose every colliding band is oversized — in practice exact and
+    near-exact boilerplate groups, which upstream `exact_dedup` removes.
+    `max_bucket_size=None` restores the unconditional guarantee."""
     if bands is None:
         bands = max_hamming + 1
     assert bands >= max_hamming + 1, (
@@ -189,6 +222,8 @@ def simhash_pairs(
             for i, (off, w) in enumerate(layout)
         ])).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        b = _cap_buckets(b, ("band", "bucket"), max_bucket_size)
     l = b.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "bucket")
     r = b.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "bucket")
     cand = l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
@@ -198,13 +233,26 @@ def simhash_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.5,
+    n: int = 3, threshold: float = 0.5, max_shingle_df: int = 1000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard pairs via inverted-index self-join: only documents
-    sharing at least one shingle ever meet.  Output (a, b, jaccard), a < b."""
+    """n-gram Jaccard pairs via inverted-index self-join: only documents
+    sharing at least one shingle ever meet.  Output (a, b, jaccard), a < b.
+
+    Shingles whose document frequency exceeds `max_shingle_df` are removed
+    from the universe BEFORE sizes and intersections are computed (classic
+    stop-shingle removal): a shingle shared by 10⁶ docs would otherwise
+    contribute a 10¹²-pair join group.  Jaccard is then EXACT over the
+    reduced (informative) shingle universe — both |A∩B| and |A∪B| exclude
+    stop-shingles, so the similarity stays internally consistent; it differs
+    from full-universe Jaccard only for pairs whose resemblance rests on
+    ubiquitous shingles, which is precisely the noise the cap removes.
+    `max_shingle_df=None` gives full-universe exact Jaccard (unbounded)."""
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     ).distinct()
+    if max_shingle_df is not None:
+        gdf = grams.groupBy("g").agg(F.count("*").alias("_df"))
+        grams = grams.join(gdf.filter(F.col("_df") <= max_shingle_df), "g").drop("_df")
     sizes = grams.groupBy(id_col).count().withColumnRenamed("count", "sz")
     l = grams.select(F.col(id_col).alias("a"), "g")
     r = grams.select(F.col(id_col).alias("b"), "g")

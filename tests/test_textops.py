@@ -113,6 +113,80 @@ def test_ngram_jaccard_exact(spark, docs):
     assert (0, 3) not in got
 
 
+def test_ngram_stop_shingle_cap(spark):
+    """Planted stop-shingle: 40 otherwise-unrelated docs all share one
+    boilerplate phrase.  Uncapped, the inverted-index join meets all
+    40·39/2 = 780 pairs through that one shingle group; with the DF cap the
+    stop-shingles leave the universe, candidate volume collapses to the
+    genuinely similar pairs, and those pairs' Jaccard over informative
+    shingles is unchanged."""
+    boiler = "click here to subscribe to our newsletter today"
+    rows = [
+        (i, f"unique document body number {i} alpha{i} beta{i} gamma{i} " + boiler)
+        for i in range(40)
+    ]
+    # one genuine near-dup pair with informative overlap
+    rows.append((100, "spark catalyst optimizer rewrites logical plans fast " + boiler))
+    rows.append((101, "spark catalyst optimizer rewrites logical plans quickly " + boiler))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.05, max_shingle_df=10)
+    got = {(r.a, r.b): r.jaccard for r in capped.collect()}
+    # the boilerplate-only pairs are gone: bounded candidate volume
+    assert (0, 1) not in got
+    assert all(not (a < 100 and b < 100) for (a, b) in got), got
+    # the real pair survives, with Jaccard over its informative shingles:
+    # after dropping the 6 pure-boilerplate trigrams (df=42), each doc keeps
+    # 7 trigrams (4 body-only shared + 3 touching the changed word) → 4/10
+    assert (100, 101) in got
+    assert got[(100, 101)] == pytest.approx(4 / 10)
+
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.05, max_shingle_df=None)
+    n_unc = uncapped.count()
+    assert n_unc >= 780  # the explosion the cap exists to prevent
+
+    # on a fixture with no hot shingles the cap is a no-op (oracle safety)
+    small = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g"), (2, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    a = sorted(ngram_jaccard_pairs(small, n=3, threshold=0.1).collect())
+    b = sorted(ngram_jaccard_pairs(small, n=3, threshold=0.1, max_shingle_df=None).collect())
+    assert a == b
+
+
+def test_lsh_bucket_cap(spark):
+    """Planted boilerplate bucket: 30 identical docs concentrate all their
+    band buckets; with a cap below 30 those buckets are skipped (their pairs
+    are exact duplicates — upstream exact_dedup territory) while a distinct
+    near-dup pair in small buckets is still found.  Cap above the group size
+    reproduces the uncapped result exactly."""
+    rows = [(i, "identical boilerplate legal disclaimer text repeated verbatim "
+                "across every page of the crawl corpus") for i in range(30)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog again and again"))
+    rows.append((101, "the quick brown fox jumps over the lazy cat again and again"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(df, k=64, shingle=3)
+    capped = minhash_lsh_pairs(sigs, bands=16, rows=4, threshold=0.5, max_bucket_size=10)
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, b in got), got  # boilerplate pairs suppressed
+
+    uncapped = minhash_lsh_pairs(sigs, bands=16, rows=4, threshold=0.5, max_bucket_size=None)
+    loose = minhash_lsh_pairs(sigs, bands=16, rows=4, threshold=0.5, max_bucket_size=100)
+    assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, uncapped.collect()))
+    assert uncapped.count() == 30 * 29 // 2 + 1
+
+    ssigs = simhash_64(df)
+    scapped = simhash_pairs(ssigs, max_hamming=16, max_bucket_size=10)
+    sgot = {(r.a, r.b) for r in scapped.collect()}
+    assert (100, 101) in sgot
+    assert all(a >= 100 for a, b in sgot), sgot
+    sunc = simhash_pairs(ssigs, max_hamming=16, max_bucket_size=None)
+    assert sunc.count() >= 30 * 29 // 2
+
+
 def test_lang_id(spark, docs):
     out = lang_id(docs)
     got = {r.doc_id: r.lang_pred for r in out.collect()}
