@@ -42,7 +42,9 @@ KERNELS = {
 
 
 def ghc_dissimilarity(X: np.ndarray, Z: np.ndarray, kern: str, lam: float) -> np.ndarray:
-    """X: (n, 2) coords; Z: (n, p) standardized features."""
+    """X: (n, d) coords (any d — the kernel only sees pairwise Euclidean
+    distances, matching the reference's coordinate-count-agnostic form);
+    Z: (n, p) standardized features."""
     n, p = Z.shape
     H = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
     K = KERNELS[kern](H, lam)
@@ -74,14 +76,14 @@ def ghc_df(
     seed: int = 123,
 ) -> DataFrame:
     ks = [k] if isinstance(k, int) else list(k)
-    cx, cy = coord_cols
+    coords = list(coord_cols)
     feats = list(
         feature_cols
         if feature_cols is not None
-        else [c for c in df.columns if c not in {cx, cy, row_id}]
+        else [c for c in df.columns if c not in {*coords, row_id}]
     )
     spark = df.sparkSession
-    sdf = _standardize(df.select(row_id, cx, cy, *feats), feats)
+    sdf = _standardize(df.select(row_id, *coords, *feats), feats)
     n_total = sdf.count()
     if n_total > nmax:
         # deterministic bounded sample: order by hash, take nmax (seeded)
@@ -94,7 +96,7 @@ def ghc_df(
     else:
         samp = sdf
     pdf = samp.orderBy(row_id).toPandas()
-    X = pdf[[cx, cy]].to_numpy(dtype=float)
+    X = pdf[coords].to_numpy(dtype=float)
     Z = pdf[feats].to_numpy(dtype=float)
     D = ghc_dissimilarity(X, Z, kern, float(lam))
     merges = ward_linkage(D)

@@ -56,11 +56,14 @@ def gsc_labels(
     return labels
 
 
-def grid_adjacency(ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
-    """4-neighborhood adjacency of grid cells given their (i, j) indices."""
-    di = np.abs(ii[:, None] - ii[None, :])
-    dj = np.abs(jj[:, None] - jj[None, :])
-    return (di + dj) == 1
+def grid_adjacency(*index_arrays: np.ndarray) -> np.ndarray:
+    """Von-Neumann adjacency of grid cells given per-axis index arrays —
+    2-D (i, j) gives the 4-neighborhood, 3-D (i, j, l) the 6-neighborhood;
+    the reference's `adjacencymatrix` is likewise dimension-generic."""
+    total = np.zeros((len(index_arrays[0]), len(index_arrays[0])), dtype=np.int64)
+    for a in index_arrays:
+        total += np.abs(a[:, None] - a[None, :])
+    return total == 1
 
 
 def gsc_df(
@@ -76,13 +79,13 @@ def gsc_df(
     index_cols=None,
     row_id: str = "row_id",
 ) -> DataFrame:
-    cx, cy = coord_cols
+    coords = list(coord_cols)
     feats = list(
         feature_cols
         if feature_cols is not None
-        else [c for c in df.columns if c not in {cx, cy, row_id, *(index_cols or ())}]
+        else [c for c in df.columns if c not in {*coords, row_id, *(index_cols or ())}]
     )
-    sel = [row_id, cx, cy, *feats] + (list(index_cols) if index_cols else [])
+    sel = [row_id, *coords, *feats] + (list(index_cols) if index_cols else [])
     sdf = df.select(*sel)
     n_total = sdf.count()
     if n_total > nmax:
@@ -93,12 +96,11 @@ def gsc_df(
     else:
         samp = sdf
     pdf = samp.orderBy(row_id).toPandas()
-    X = pdf[[cx, cy]].to_numpy(dtype=float)
+    X = pdf[coords].to_numpy(dtype=float)
     Z = pdf[feats].to_numpy(dtype=float)
     adj = None
     if index_cols:
-        ic, jc = index_cols
-        adj = grid_adjacency(pdf[ic].to_numpy(), pdf[jc].to_numpy())
+        adj = grid_adjacency(*[pdf[c].to_numpy() for c in index_cols])
     labels = gsc_labels(X, Z, k, m, sigma, tol, maxiter, adjacency=adj)
     lab = pd.DataFrame({row_id: pdf[row_id], "label": labels})
     spark = df.sparkSession

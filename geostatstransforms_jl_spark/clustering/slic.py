@@ -26,6 +26,7 @@ lineage flat across iterations.
 
 from __future__ import annotations
 
+import itertools
 import math
 from dataclasses import dataclass
 from typing import Optional, Sequence
@@ -79,34 +80,49 @@ def slic_df(
     coord_cols=("x", "y"),
     row_id: str = "row_id",
 ) -> DataFrame:
-    """Returns (row_id, x, y, label) with labels 1..#centers."""
+    """Returns (row_id, *coord_cols, label) with labels 1..#centers.
+
+    n-D: `coord_cols` may hold any number of axes — the spacing recursion
+    (slic_spacing), lattice enumeration (first axis fastest, matching the
+    reference's product order, src/clustering/slic.jl:145-163), spatial
+    distance and medoid update are all dimension-generic."""
     spark = df.sparkSession
-    cx, cy = coord_cols
+    coords = list(coord_cols)
     feats = list(
         feature_cols
         if feature_cols is not None
-        else [c for c in df.columns if c not in {cx, cy, row_id}]
+        else [c for c in df.columns if c not in {*coords, row_id}]
     )
-    d = _standardize(df.select(row_id, cx, cy, *feats), feats).persist()
+    d = _standardize(df.select(row_id, *coords, *feats), feats).persist()
 
     b = d.agg(
-        F.min(cx).alias("x0"), F.min(cy).alias("y0"), F.max(cx).alias("x1"), F.max(cy).alias("y1")
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(coords)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(coords)],
     ).first()
-    sx, sy = slic_spacing(k, [b.x1 - b.x0, b.y1 - b.y0])
-    s_max = max(sx, sy)
+    los = [float(b[f"lo_{i}"]) for i in range(len(coords))]
+    his = [float(b[f"hi_{i}"]) for i in range(len(coords))]
+    spac = slic_spacing(k, [hi - lo for lo, hi in zip(los, his)])
+    s_max = max(spac)
 
-    # lattice points in product order, first axis fastest
-    xs = np.arange(b.x0 + sx / 2, b.x1, sx) if sx > 0 else np.array([b.x0])
-    ys = np.arange(b.y0 + sy / 2, b.y1, sy) if sy > 0 else np.array([b.y0])
-    lattice = [(int(n), float(x), float(y)) for n, (y, x) in enumerate((yy, xx) for yy in ys for xx in xs)]
-    lat_df = spark.createDataFrame(lattice, "n long, x double, y double")
+    # lattice points in product order, FIRST axis fastest (:145-163)
+    axes = [
+        np.arange(lo + s / 2, hi, s) if s > 0 else np.array([lo])
+        for lo, hi, s in zip(los, his, spac)
+    ]
+    lattice = [
+        (int(n), *[float(v) for v in reversed(tup)])
+        for n, tup in enumerate(itertools.product(*reversed(axes)))
+    ]
+    lat_schema = "n long, " + ", ".join(f"{c} double" for c in coords)
+    lat_df = spark.createDataFrame(lattice, lat_schema)
     snap = knn_join(
-        lat_df, d.select(row_id, F.col(cx).alias("x"), F.col(cy).alias("y")), k=1,
-        t_id="n", s_id=row_id, salt_threshold=None,
+        lat_df, d.select(row_id, *coords), k=1,
+        t_id="n", s_id=row_id, t_coords=coords, s_coords=coords,
+        salt_threshold=None,
     )
     snapped = {r["t_n"]: r[f"s_{row_id}"] for r in snap.collect()}
     seen, center_ids = set(), []
-    for n, _, _ in lattice:
+    for n, *_ in lattice:
         rid = snapped[n]
         if rid not in seen:
             seen.add(rid)
@@ -118,14 +134,22 @@ def slic_df(
         rows = d.filter(F.col(row_id).isin([int(i) for i in ids])).collect()
         bykey = {r[row_id]: r for r in rows}
         data = [
-            (ki + 1, float(bykey[i][cx]), float(bykey[i][cy]), *[float(bykey[i][c]) for c in feats])
+            (
+                ki + 1,
+                *[float(bykey[i][c]) for c in coords],
+                *[float(bykey[i][c]) for c in feats],
+            )
             for ki, i in enumerate(ids)
         ]
-        schema = "k int, kx double, ky double" + "".join(f", kf_{c} double" for c in feats)
+        schema = (
+            "k int"
+            + "".join(f", kc_{j} double" for j in range(len(coords)))
+            + "".join(f", kf_{c} double" for c in feats)
+        )
         return F.broadcast(spark.createDataFrame(data, schema))
 
     state = d.select(
-        row_id, cx, cy, *feats,
+        row_id, *coords, *feats,
         F.lit(0).alias("label"), F.lit(float("inf")).alias("dist"),
     ).localCheckpoint()
 
@@ -133,7 +157,9 @@ def slic_df(
     ids = center_ids
     for _ in range(maxiter):
         cdf = centers_df(ids)
-        ds2 = (F.col(cx) - F.col("kx")) ** 2 + (F.col(cy) - F.col("ky")) ** 2
+        ds2 = F.lit(0.0)
+        for j, c in enumerate(coords):
+            ds2 = ds2 + (F.col(c) - F.col(f"kc_{j}")) ** 2
         dv2 = F.lit(0.0)
         for c, w in zip(feats, wvec):
             dv2 = dv2 + F.lit(w) * (F.col(c) - F.col(f"kf_{c}")) ** 2
@@ -143,7 +169,7 @@ def slic_df(
             F.min(F.struct(F.col("dt").alias("d"), F.col("k").alias("k"))).alias("b")
         ).select(row_id, F.col("b.d").alias("nd"), F.col("b.k").alias("nk"))
         merged = state.join(best, row_id, "left").select(
-            row_id, cx, cy, *feats,
+            row_id, *coords, *feats,
             F.when(F.col("nd") < F.col("dist"), F.col("nk")).otherwise(F.col("label")).alias("label"),
             F.when(F.col("nd") < F.col("dist"), F.col("nd")).otherwise(F.col("dist")).alias("dist"),
         ).localCheckpoint()
@@ -151,11 +177,14 @@ def slic_df(
 
         # medoid update
         means = state.filter(F.col("label") > 0).groupBy("label").agg(
-            F.avg(cx).alias("mx"), F.avg(cy).alias("my")
+            *[F.avg(c).alias(f"m_{j}") for j, c in enumerate(coords)]
         )
+        dm2 = F.lit(0.0)
+        for j, c in enumerate(coords):
+            dm2 = dm2 + (F.col(c) - F.col(f"m_{j}")) ** 2
         med = (
             state.join(means, "label")
-            .withColumn("dm", F.sqrt((F.col(cx) - F.col("mx")) ** 2 + (F.col(cy) - F.col("my")) ** 2))
+            .withColumn("dm", F.sqrt(dm2))
             .groupBy("label")
             .agg(F.min(F.struct(F.col("dm"), F.col(row_id).alias("rid"))).alias("b"))
             .select("label", F.col("b.rid").alias("rid"))
@@ -175,15 +204,16 @@ def slic_df(
     if not orphans.isEmpty():
         assigned = state.filter(F.col("label") > 0)
         nn = knn_join(
-            orphans.select(row_id, F.col(cx).alias("x"), F.col(cy).alias("y")),
-            assigned.select(row_id, F.col(cx).alias("x"), F.col(cy).alias("y"), "label"),
-            k=1, t_id=row_id, s_id=row_id, s_carry=("label",), salt_threshold=None,
+            orphans.select(row_id, *coords),
+            assigned.select(row_id, *coords, "label"),
+            k=1, t_id=row_id, s_id=row_id, t_coords=coords, s_coords=coords,
+            s_carry=("label",), salt_threshold=None,
         ).select(F.col(f"t_{row_id}").alias(row_id), F.col("s_label").alias("label"))
         fixed = orphans.drop("label").join(nn, row_id)
         state = assigned.unionByName(fixed.select(*assigned.columns))
 
     d.unpersist()
-    return state.select(row_id, cx, cy, "label")
+    return state.select(row_id, *coords, "label")
 
 
 @dataclass

@@ -122,6 +122,104 @@ def test_gsc_propagates_past_nmax(spark):
     assert {r.label for r in rows} <= set(range(1, 5))
 
 
+# ---------------- n-D clustering ----------------
+
+
+def _grid3d_df(spark, nx, ny, nz, fn, name="v"):
+    rows = [
+        (
+            int(i + nx * (j + ny * l)),
+            float(i) + 0.5, float(j) + 0.5, float(l) + 0.5,
+            float(fn(i + 1, j + 1, l + 1)),
+        )
+        for l in range(nz) for j in range(ny) for i in range(nx)
+    ]
+    return spark.createDataFrame(
+        rows, f"row_id long, x double, y double, z double, {name} double"
+    )
+
+
+def test_slic_3d_octant_blocks(spark):
+    # 3-D analogue of the reference's four-block fixture: 8 constant octant
+    # blocks in a 10×10×10 grid → SLIC(8, 1.0) must recover the octants as
+    # clusters exactly (labels 1..8, one per octant)
+    from geostatstransforms_jl_spark.clustering.slic import slic_df
+
+    def zval(i, j, l):
+        return 1 * (i > 5) + 2 * (j > 5) + 4 * (l > 5)
+
+    df = _grid3d_df(spark, 10, 10, 10, zval)
+    out = slic_df(df, 8, 1.0, coord_cols=("x", "y", "z"))
+    got = {}
+    for r in out.collect():
+        oct_key = (r.x > 5, r.y > 5, r.z > 5)
+        got.setdefault(oct_key, set()).add(r.label)
+    assert len(got) == 8
+    labels_per_block = [v for v in got.values()]
+    assert all(len(v) == 1 for v in labels_per_block), got
+    all_labels = set().union(*labels_per_block)
+    assert all_labels == set(range(1, 9))
+
+
+def test_slic_3d_spacing_and_count(spark):
+    from geostatstransforms_jl_spark.clustering.slic import slic_df
+
+    df = _grid3d_df(spark, 8, 8, 8, lambda i, j, l: np.sqrt(i * i + j * j + l * l))
+    out = slic_df(df, 10, 0.001, coord_cols=("x", "y", "z"))
+    rows = out.collect()
+    assert len(rows) == 512  # every cell labeled (orphan pass)
+    n = len({r.label for r in rows})
+    assert 8 <= n <= 14, n
+
+
+def test_ghc_3d_octant_blocks(spark):
+    from geostatstransforms_jl_spark.clustering.ghc import ghc_df
+
+    def zval(i, j, l):
+        return 1 * (i > 4) + 2 * (j > 4) + 4 * (l > 4)
+
+    df = _grid3d_df(spark, 8, 8, 8, zval)
+    out = ghc_df(df, 8, 1.0, coord_cols=("x", "y", "z"))
+    blocks = {}
+    for r in out.collect():
+        blocks.setdefault((r.x > 4, r.y > 4, r.z > 4), set()).add(r.label)
+    assert len(blocks) == 8
+    assert all(len(v) == 1 for v in blocks.values())
+    assert set().union(*blocks.values()) == set(range(1, 9))
+
+
+def test_gsc_3d_smoke(spark):
+    from geostatstransforms_jl_spark.clustering.gsc import gsc_df
+
+    df = _grid3d_df(spark, 6, 6, 4, lambda i, j, l: 10 * np.sin(i / 6) + j + l)
+    df = df.withColumn("i", (F.col("x") - 0.5).cast("int")) \
+           .withColumn("j", (F.col("y") - 0.5).cast("int")) \
+           .withColumn("l", (F.col("z") - 0.5).cast("int"))
+    out = gsc_df(
+        df, k=4, m=2.0, coord_cols=("x", "y", "z"),
+        feature_cols=["v"], index_cols=("i", "j", "l"),
+    )
+    rows = out.collect()
+    assert len(rows) == 144
+    assert all(r.label is not None for r in rows)
+    assert {r.label for r in rows} == set(range(1, 5))
+
+
+def test_grid_adjacency_3d():
+    from geostatstransforms_jl_spark.clustering.gsc import grid_adjacency
+
+    ii = np.array([0, 1, 0, 0, 1])
+    jj = np.array([0, 0, 1, 0, 1])
+    ll = np.array([0, 0, 0, 1, 0])
+    adj = grid_adjacency(ii, jj, ll)
+    # cell 0=(0,0,0): neighbors 1=(1,0,0), 2=(0,1,0), 3=(0,0,1); 4=(1,1,0)
+    # is a diagonal (distance 2) — NOT adjacent
+    assert adj[0, 1] and adj[0, 2] and adj[0, 3]
+    assert not adj[0, 4]
+    assert not adj.diagonal().any()
+    assert (adj == adj.T).all()
+
+
 # ---------------- sequential filters ----------------
 
 
