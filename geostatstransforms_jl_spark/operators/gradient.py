@@ -42,6 +42,85 @@ def sobel_tile(img: np.ndarray) -> tuple:
     return g0, g1
 
 
+def _conv1(a: np.ndarray, axis: int, kernel) -> np.ndarray:
+    """Length-3 convolution along `axis` of an array padded by 1 on that
+    axis; the output drops that axis' padding."""
+    out = None
+    for t, kv in enumerate(kernel):
+        if kv == 0.0:
+            continue
+        s = [slice(None)] * a.ndim
+        s[axis] = slice(t, a.shape[axis] - 2 + t)
+        term = kv * a[tuple(s)]
+        out = term if out is None else out + term
+    return out
+
+
+def sobel_axis(img: np.ndarray, axis: int) -> np.ndarray:
+    """n-D Sobel derivative along `axis`, replicate border: central
+    difference [-1, 0, 1]/2 on `axis` and [1, 2, 1]/4 smoothing on every
+    other axis — the separable form ImageFiltering's `KernelFactors.sobel`
+    takes in any dimension (reference `imgradients` is dimension-generic,
+    src/gradient.jl:56)."""
+    out = np.pad(img, 1, mode="edge")
+    for a in range(img.ndim):
+        k = (-0.5, 0.0, 0.5) if a == axis else (0.25, 0.5, 0.25)
+        out = _conv1(out, a, k)
+    return out
+
+
+def gradient_nd_long_df(
+    df: DataFrame,
+    var: str,
+    dims,
+    spacings=None,
+    index_cols=("i", "j", "l"),
+    tile_col: Optional[str] = None,
+    axis_names=None,
+) -> DataFrame:
+    """n-D long/grid form: rows (tile?, i₀..i_{d-1}, var) →
+    (tile?, i₀..i_{d-1}, var_<axis> per axis).
+
+    `dims` are the global grid extents per axis; `spacings` the cell sizes
+    (default 1.0); `axis_names` the CRS axis suffixes (default x, y, z,
+    w₃, w₄, …).  Rows absent from a tile contribute zeros (view semantics,
+    src/gradient.jl:51-61) and are not emitted."""
+    dims = [int(n) for n in dims]
+    d = len(dims)
+    index_cols = list(index_cols)[:d]
+    assert len(index_cols) == d, "index_cols must match dims"
+    if spacings is None:
+        spacings = [1.0] * d
+    if axis_names is None:
+        axis_names = ["x", "y", "z"][:d] + [f"w{a}" for a in range(3, d)]
+    keys = [tile_col] if tile_col else []
+    out_cols = [f"{var}_{ax}" for ax in axis_names]
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros(tuple(dims))
+        idx = tuple(pdf[c].to_numpy() for c in index_cols)
+        img[idx] = pdf[var].to_numpy(dtype=float)
+        res = pdf[keys + index_cols].copy()
+        for a, (oc, s) in enumerate(zip(out_cols, spacings)):
+            res[oc] = sobel_axis(img, a)[idx] / s
+        return res
+
+    schema = ", ".join(
+        ([f"{tile_col} string"] if tile_col else [])
+        + [f"{c} int" for c in index_cols]
+        + [f"{c} double" for c in out_cols]
+    )
+    sel = keys + index_cols + [var]
+    if keys:
+        return df.select(*sel).groupBy(*keys).applyInPandas(per_tile, schema)
+    import pyspark.sql.functions as F
+
+    dd = df.select(*sel).withColumn("_t", F.lit(0))
+    return dd.groupBy("_t").applyInPandas(
+        lambda pdf: per_tile(pdf.drop(columns=["_t"])), schema
+    )
+
+
 def gradient_long_df(
     df: DataFrame,
     var: str,

@@ -60,6 +60,61 @@ def test_gradient_spacing_normalization(spark):
     assert got[(1, 1)].a_y == pytest.approx(0.0)
 
 
+def test_sobel_axis_matches_2d_tile():
+    # the n-D separable form must reproduce the pinned 2-D sobel exactly
+    from geostatstransforms_jl_spark.operators.gradient import sobel_axis, sobel_tile
+
+    rng = np.random.default_rng(7)
+    img = rng.standard_normal((9, 13))
+    g0, g1 = sobel_tile(img)
+    np.testing.assert_allclose(sobel_axis(img, 0), g0, atol=1e-12)
+    np.testing.assert_allclose(sobel_axis(img, 1), g1, atol=1e-12)
+
+
+def test_gradient_3d_ramp_exact(spark):
+    # 3-D synthetic ramp v = 2i + 3j + 5l on a 6×5×4 grid with spacings
+    # (2, 1, 0.5): interior derivative is exactly (2/2, 3/1, 5/0.5);
+    # replicate-border central difference halves the slope at each face
+    from geostatstransforms_jl_spark.operators.gradient import gradient_nd_long_df
+
+    dims, spac = (6, 5, 4), (2.0, 1.0, 0.5)
+    rows = [
+        (i, j, l, float(2 * i + 3 * j + 5 * l))
+        for i in range(6) for j in range(5) for l in range(4)
+    ]
+    df = spark.createDataFrame(rows, "i int, j int, l int, v double")
+    out = gradient_nd_long_df(df, "v", dims, spac, index_cols=("i", "j", "l"))
+    got = {(r.i, r.j, r.l): r for r in out.collect()}
+    assert len(got) == 6 * 5 * 4
+    for (i, j, l), r in got.items():
+        ex = (2.0 / 2) * (0.5 if i in (0, 5) else 1.0)
+        ey = (3.0 / 1) * (0.5 if j in (0, 4) else 1.0)
+        ez = (5.0 / 0.5) * (0.5 if l in (0, 3) else 1.0)
+        assert r.v_x == pytest.approx(ex), (i, j, l)
+        assert r.v_y == pytest.approx(ey), (i, j, l)
+        assert r.v_z == pytest.approx(ez), (i, j, l)
+
+
+def test_gradient_nd_tiled(spark):
+    # two tiles, each its own 3-D grid; per-tile independence
+    from geostatstransforms_jl_spark.operators.gradient import gradient_nd_long_df
+
+    rows = []
+    for t, slope in (("a", 1.0), ("b", 4.0)):
+        for i in range(4):
+            for j in range(4):
+                for l in range(3):
+                    rows.append((t, i, j, l, slope * i))
+    df = spark.createDataFrame(rows, "tile string, i int, j int, l int, v double")
+    out = gradient_nd_long_df(
+        df, "v", (4, 4, 3), index_cols=("i", "j", "l"), tile_col="tile"
+    )
+    got = {(r.tile, r.i, r.j, r.l): r.v_x for r in out.collect()}
+    assert got[("a", 1, 1, 1)] == pytest.approx(1.0)
+    assert got[("b", 1, 1, 1)] == pytest.approx(4.0)
+    assert got[("b", 0, 1, 1)] == pytest.approx(2.0)  # border half-slope
+
+
 # ---------------- Rasterize primitives ----------------
 
 
