@@ -27,8 +27,11 @@ from typing import Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# bits per axis by dimensionality (keys must fit a signed 64-bit long)
-BITS = {1: 60, 2: 30, 3: 20, 4: 15}
+# bits per axis by dimensionality (keys must fit a signed 64-bit long);
+# 1-D is capped at 52, not 63: cell indices pass through double arithmetic
+# (floor/divide in `idx`, divide in `parent`), and past the 53-bit mantissa
+# those become inexact — 2-D/3-D (30/20 bits) are safely inside it
+BITS = {1: 52, 2: 30, 3: 20, 4: 15}
 MAX_RES = 30  # 2-D cap kept for existing callers
 
 

@@ -562,6 +562,18 @@ def _selfjoin_dedup_1nn(
     # checkpoint) in the ladder case, so only the pile branch still
     # references `marked` — checkpoint just that branch instead of
     # re-materializing the whole union (saves a second full-result write).
+    # The broadcast / target-scan routes, however, return LAZY plans over
+    # `marked`'s lineage — unpersisting before the union would recompute the
+    # coordinate window (ADVICE r2).  Those routes only trigger when the
+    # reduced sides are small (≤ broadcast_threshold unique coordinates or
+    # ≤ finish_threshold singletons), so eagerly checkpointing `inner` there
+    # is a bounded narrow write; one agg on the cached frame decides.
+    sizes = marked.agg(
+        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("u"),
+        F.sum(F.when(F.col("_cnt") == 1, 1).otherwise(0)).alias("s1"),
+    ).first()
+    if (sizes["u"] or 0) <= broadcast_threshold or (sizes["s1"] or 0) <= finish_threshold:
+        inner = inner.localCheckpoint(eager=True)
     pile_out = pile_out.localCheckpoint(eager=True)
     marked.unpersist()
     return pile_out.unionByName(inner.select(*pile_out.columns))

@@ -127,7 +127,16 @@ def kriging_reduce(
 
     ``support_offsets`` (the reference's ``point=false``, block support):
     the right-hand-side γ₀ is averaged over these (dx, dy) offsets from the
-    target centroid — block kriging by cell quadrature.
+    target centroid — block kriging by cell quadrature.  The block variance
+    is σ² = λᵀγ̄₀ + ν − γ̄(B,B) where γ̄(B,B) is the mean semivariogram over
+    quadrature-offset pairs (γ(0) = 0 on the diagonal by the variogram
+    convention) — without the within-block term the point formula applied to
+    block-averaged γ̄₀ overstates the variance.
+
+    Null handling: the mean renormalizes λ over non-null samples; the
+    reported ``<c>_var`` is the variance of the FULL-neighbor-set estimator
+    (documented contract — the reduced-system variance would need a
+    re-solve per null pattern per column).
     """
     gamma = model.gamma()
     tx, ty = t_coords
@@ -144,6 +153,12 @@ def kriging_reduce(
         if support_offsets is not None
         else np.zeros((1, 2))
     )
+    # within-block mean semivariogram γ̄(B,B) over offset pairs; zero for
+    # point support (single zero offset, γ(0) = 0)
+    _dbb = np.sqrt(((offs[:, None, :] - offs[None, :, :]) ** 2).sum(-1))
+    _gbb = gamma(_dbb)
+    np.fill_diagonal(_gbb, 0.0)
+    gamma_bb = float(_gbb.mean())
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         X = pdf[[sx, sy]].to_numpy(dtype=float)
@@ -173,7 +188,7 @@ def kriging_reduce(
         except np.linalg.LinAlgError:
             w = np.linalg.lstsq(A, b, rcond=None)[0]
         lam, nu = w[:k], w[k]
-        var = float(lam @ g0 + nu)
+        var = float(lam @ g0 + nu - gamma_bb)
         row = {tid: pdf[tid].iloc[0]}
         for c in value_cols:
             z = pdf[f"s_{c}"].to_numpy(dtype=float)

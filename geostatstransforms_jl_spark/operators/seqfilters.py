@@ -95,6 +95,17 @@ def _mode_smallest(levels: np.ndarray, vals: np.ndarray):
     return min(l for l, c in counts.items() if c == top)
 
 
+def _check_skip_dims(skip_set, nd, dims):
+    # ADVICE r2: with >2 index axes the tile-local extent fallback
+    # (max index + 1 per axis) can linearize GLOBAL skip indices wrongly
+    # when a tile does not span the full grid — demand explicit dims
+    if skip_set and nd > 2 and dims is None:
+        raise ValueError(
+            "skip with more than 2 index axes requires explicit dims=: "
+            "tile-local extents cannot reproduce the global linearization"
+        )
+
+
 def _tile_runner(df, run_tile, out_schema, index_cols, tile_col, keep_cols):
     keys = [tile_col] if tile_col else []
     sel = keys + list(index_cols) + keep_cols
@@ -133,6 +144,7 @@ def mode_filter_df(
     nd = len(icols)
     offs = _neighbor_offsets(maxneighbors, nd)
     skip_set = set(int(s) for s in skip)
+    _check_skip_dims(skip_set, nd, dims)
     dtype = df.schema[var].dataType.simpleString()
 
     def run_tile(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -199,6 +211,7 @@ def max_posterior_df(
     nd = len(icols)
     offs = _neighbor_offsets(maxneighbors, nd)
     skip_set = set(int(s) for s in skip)
+    _check_skip_dims(skip_set, nd, dims)
     dtype = df.schema[var].dataType.simpleString()
     ball_r = float(range_)
 
@@ -287,6 +300,7 @@ def quenching_df(
     nd = len(icols)
     offs = _neighbor_offsets(maxneighbors, nd)
     skip_set = set(int(s) for s in skip)
+    _check_skip_dims(skip_set, nd, dims)
     dtype = df.schema[var].dataType.simpleString()
     ball_r = float(range_)
 

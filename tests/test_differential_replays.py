@@ -290,6 +290,68 @@ def test_kriging_closed_form(spark):
     assert got[102] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_block_kriging_variance_closed_form(spark):
+    """Block OK variance must carry the within-block term:
+    σ² = λᵀγ̄₀ + ν − γ̄(B,B) (mean semivariogram over quadrature-offset
+    pairs, zero diagonal).  Verified against an independent numpy solve;
+    point support (no offsets) must keep the plain λᵀγ₀ + ν."""
+    from geostatstransforms_jl_spark.functions.knn import knn_join
+    from geostatstransforms_jl_spark.functions.models import Kriging, kriging_reduce
+
+    samples = [
+        (0, 10.0, 10.0, 1.0),
+        (1, 30.0, 12.0, 3.0),
+        (2, 18.0, 28.0, 2.0),
+        (3, 5.0, 30.0, 4.0),
+        (4, 28.0, 27.0, 0.5),
+    ]
+    sdf = spark.createDataFrame(samples, "row_id long, x double, y double, v double")
+    targets = [(100, 15.0, 15.0), (101, 25.0, 20.0)]
+    tdf = spark.createDataFrame(targets, "row_id long, x double, y double")
+    rng_ = 25.0
+    model = Kriging("gaussian", range_=rng_)
+    offsets = [(-0.5, -0.5), (0.5, -0.5), (-0.5, 0.5), (0.5, 0.5)]
+
+    pairs = knn_join(tdf, sdf, k=5, t_id="row_id", s_id="row_id", s_carry=("v",))
+    point = kriging_reduce(pairs, model, ["v"], "t_row_id", prob=True)
+    block = kriging_reduce(
+        pairs, model, ["v"], "t_row_id", prob=True, support_offsets=offsets
+    )
+    got_p = {r.t_row_id: (r.v, r.v_var) for r in point.collect()}
+    got_b = {r.t_row_id: (r.v, r.v_var) for r in block.collect()}
+
+    X = np.array([[s[1], s[2]] for s in samples])
+    z = np.array([s[3] for s in samples])
+
+    def gamma(h):
+        return 1.0 - np.exp(-3.0 * (np.asarray(h, float) / rng_) ** 2)
+
+    k = len(X)
+    H = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    A = np.empty((k + 1, k + 1))
+    A[:k, :k] = gamma(H)
+    A[k, :k] = A[:k, k] = 1.0
+    A[k, k] = 0.0
+    offs = np.array(offsets)
+    gbb = gamma(np.sqrt(((offs[:, None, :] - offs[None, :, :]) ** 2).sum(-1)))
+    np.fill_diagonal(gbb, 0.0)
+    gbb = gbb.mean()
+    assert gbb > 0
+    for rid, tx, ty in targets:
+        h0 = np.sqrt(((X - [tx, ty]) ** 2).sum(-1))
+        g0p = gamma(h0)
+        w = np.linalg.solve(A, np.concatenate([g0p, [1.0]]))
+        assert got_p[rid][1] == pytest.approx(float(w[:k] @ g0p + w[k]), abs=1e-9)
+        g0b = np.mean([gamma(np.sqrt(((X - [tx + ox, ty + oy]) ** 2).sum(-1)))
+                       for ox, oy in offsets], axis=0)
+        wb = np.linalg.solve(A, np.concatenate([g0b, [1.0]]))
+        want_var = float(wb[:k] @ g0b + wb[k] - gbb)
+        assert got_b[rid][0] == pytest.approx(float(wb[:k] @ z), abs=1e-9)
+        assert got_b[rid][1] == pytest.approx(want_var, abs=1e-9)
+        # block variance is strictly below the uncorrected point formula
+        assert got_b[rid][1] < float(wb[:k] @ g0b + wb[k])
+
+
 def test_modefilter_3d_replay(spark):
     """3-D ModeFilter (the reference's maxneighbors=26 IS the 3-D Moore
     neighborhood, src/modefilter.jl:22): seeded replay on a 6×6×6 grid."""
