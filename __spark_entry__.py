@@ -716,6 +716,20 @@ FROM lineitem WHERE l_orderkey % 2 = 0
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # literal-table oracles for deterministic non-SQL queries: expected
+    # outputs precomputed by INDEPENDENT numpy replays of the reference
+    # semantics (scripts/gen_literal_oracles.py) at the driver's sf0.01
+    try:
+        from oracle_literals_sf001 import LITERAL_ORACLES
+
+        out.update(LITERAL_ORACLES)
+    except ImportError:
+        pass
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "uniquecoords": f"""
             WITH pts AS ({_LI_PTS})

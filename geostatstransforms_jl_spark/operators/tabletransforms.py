@@ -192,25 +192,59 @@ _AFFINE_UNITS = {
     "Pa": (1.0, 0.0),
     "bar": (100000.0, 0.0),
     "atm": (101325.0, 0.0),
+    "psi": (6894.757293168361, 0.0),
+    "mmHg": (133.322387415, 0.0),
+    "in": (0.0254, 0.0),
+    "yd": (0.9144, 0.0),
+    "nmi": (1852.0, 0.0),
+    "um": (1e-6, 0.0),
+    "nm": (1e-9, 0.0),
+    "d": (86400.0, 0.0),
+    "ms": (0.001, 0.0),
+    "us": (1e-6, 0.0),
+    "t": (1000.0, 0.0),
+    "mg": (1e-6, 0.0),
+    "oz": (0.028349523125, 0.0),
+    "degR": (5.0 / 9.0, 0.0),
+    "L": (0.001, 0.0),
+    "mL": (1e-6, 0.0),
+    "gal": (0.003785411784, 0.0),
+    "rad": (1.0, 0.0),
+    "deg": (3.141592653589793 / 180.0, 0.0),
 }
 
 
-def absolute_units_df(df, units: "dict[str, str]"):
+def _unit_affine(u):
+    """Resolve a unit spec to its (scale, offset) pair: a name from the
+    built-in table, or an explicit ``(scale, offset)`` tuple for units the
+    table doesn't list (the general escape hatch toward Unitful's open
+    system, reference src/utils.jl:27-31)."""
+    if isinstance(u, (tuple, list)):
+        if len(u) != 2:
+            raise ValueError(f"unit tuple must be (scale, offset), got {u!r}")
+        return float(u[0]), float(u[1])
+    if u not in _AFFINE_UNITS:
+        raise ValueError(
+            f"unknown unit {u!r}; pass an explicit (scale, offset) tuple"
+        )
+    return _AFFINE_UNITS[u]
+
+
+def absolute_units_df(df, units: "dict[str, object]"):
     """Normalize affine-united columns to absolute base units at ingest —
     the engine's stand-in for the reference's `AbsoluteUnits()` pipe run
     before every numeric transform (SURVEY.md §1.4 documents the contract:
     the engine fixes SI units at ingest; this helper does the fixing).
 
-    `units` maps column → source unit (e.g. ``{"temp": "degC"}``).  Pure
-    Catalyst projections — zero extra passes.
+    `units` maps column → source unit: a name (e.g. ``{"temp": "degC"}``)
+    or an explicit affine pair ``{"temp": (scale, offset)}`` with
+    value_abs = scale · value + offset.  Pure Catalyst projections — zero
+    extra passes.
     """
     exprs = []
     for c in df.columns:
         if c in units:
-            u = units[c]
-            if u not in _AFFINE_UNITS:
-                raise ValueError(f"unknown unit {u!r} for column {c!r}")
-            a, b = _AFFINE_UNITS[u]
+            a, b = _unit_affine(units[c])
             e = F.col(c).cast("double") * F.lit(a) + F.lit(b)
             exprs.append(e.alias(c))
         else:

@@ -1,0 +1,328 @@
+"""Generate literal-table DuckDB oracles for the deterministic-but-not-SQL
+queries (VERDICT r2 next-step 6): `modefilter`, `maxposterior`, `quenching`,
+`kriging_neighbors`.
+
+The expected outputs are computed here with INDEPENDENT numpy replays of the
+reference semantics (the same replay logic as tests/test_differential_replays.py
+— written from src/modefilter.jl / src/maxposterior.jl / src/quenching.jl and
+the ordinary-kriging closed form, sharing no code with the engine operators)
+over the sf0.01 driver tables read via DuckDB (no Spark involved).  The
+results are emitted as `VALUES` literals into `oracle_literals_sf001.py`,
+which `__spark_entry__.oracle_sql()` merges in.
+
+Run: python scripts/gen_literal_oracles.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import numpy as np
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = "oracle_literals_sf001.py"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+# ---- independent replay helpers (mirrors tests/test_differential_replays) --
+
+
+def _offsets(maxneighbors, nd=2):
+    r = 1
+    while (2 * r + 1) ** nd - 1 < maxneighbors * 2:
+        r += 1
+    offs = [
+        o for o in itertools.product(range(-r, r + 1), repeat=nd)
+        if any(c != 0 for c in o)
+    ]
+    return sorted(offs, key=lambda o: (sum(c * c for c in o), *o))
+
+
+def _mode_smallest(levels, vals):
+    counts = {l: sum(1 for v in vals if v == l) for l in levels}
+    top = max(counts.values())
+    return min(l for l, c in counts.items() if c == top)
+
+
+def _decay(kind, h, rng_):
+    hr = np.asarray(h, dtype=float) / rng_
+    if kind == "gaussian":
+        return np.exp(-3.0 * hr**2)
+    if kind == "spherical":
+        c = 1.0 - (1.5 * np.clip(hr, 0, 1) - 0.5 * np.clip(hr, 0, 1) ** 3)
+        return np.where(hr >= 1.0, 0.0, c)
+    return np.exp(-3.0 * hr)
+
+
+def replay_modefilter(grid, maxneighbors, seed):
+    """Sequential mode filter: visit cells (sorted base order) in
+    seeded-shuffle order, replace with mode of the CURRENT ≤k nearest
+    neighbors (src/modefilter.jl:16-81)."""
+    g = dict(grid)
+    levels = sorted(set(g.values()))
+    offs = _offsets(maxneighbors)
+    order = sorted(g)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(order)
+    for (i, j) in order:
+        nb = []
+        for (di, dj) in offs:
+            p = (i + di, j + dj)
+            if p in g:
+                nb.append(g[p])
+                if len(nb) >= maxneighbors:
+                    break
+        if len(nb) <= 1:
+            continue
+        g[(i, j)] = _mode_smallest(levels, nb)
+    return g
+
+
+def replay_maxposterior(grid, vario, rng_, maxneighbors):
+    """Order-free indicator-cokriging MAP (src/maxposterior.jl:34-147):
+    neighbors read the immutable snapshot; γ = 1 − c(h); argmax posterior."""
+    levels = sorted(set(grid.values()))
+    offs = [o for o in _offsets(maxneighbors) if math.hypot(*o) <= rng_]
+    expect = {}
+    for (i, j) in grid:
+        nb = []
+        for (di, dj) in offs:
+            p = (i + di, j + dj)
+            if p in grid:
+                nb.append(p)
+                if len(nb) >= maxneighbors:
+                    break
+        if len(nb) <= 1:
+            expect[(i, j)] = grid[(i, j)]
+            continue
+        P = np.array(nb, dtype=float)
+        k = len(nb)
+        H = np.sqrt(((P[:, None, :] - P[None, :, :]) ** 2).sum(-1))
+        A = np.empty((k + 1, k + 1))
+        A[:k, :k] = 1.0 - _decay(vario, H, rng_)
+        A[k, :k] = A[:k, k] = 1.0
+        A[k, k] = 0.0
+        h0 = np.sqrt(((P - np.array([i, j], dtype=float)) ** 2).sum(-1))
+        b = np.concatenate([1.0 - _decay(vario, h0, rng_), [1.0]])
+        try:
+            lam = np.linalg.solve(A, b)[:k]
+        except np.linalg.LinAlgError:
+            lam = np.linalg.lstsq(A, b, rcond=None)[0][:k]
+        prob = np.zeros(len(levels))
+        for q in range(len(levels)):
+            z = np.array([1.0 if grid[p] == levels[q] else 0.0 for p in nb])
+            prob[q] = lam @ z
+        prob = np.clip(prob, 0.0, 1.0)
+        expect[(i, j)] = (
+            levels[int(np.argmax(prob / prob.sum()))] if prob.sum() > 0 else grid[(i, j)]
+        )
+    return expect
+
+
+def replay_quenching(grid, vario, rng_, maxneighbors, tol, maxiter, seed):
+    """Accept-if-objective-drops sweep against the idealized transiogram
+    (src/quenching.jl:34-150)."""
+    levels = sorted(set(grid.values()))
+    lev_idx = {l: q for q, l in enumerate(levels)}
+    L = len(levels)
+    g = {p: lev_idx[v] for p, v in grid.items()}
+    props = np.array([sum(1 for v in g.values() if v == q) for q in range(L)], float)
+    props /= props.sum()
+    offs = [o for o in _offsets(maxneighbors) if math.hypot(*o) <= rng_]
+    lags = sorted({float(d) for d in range(1, int(np.ceil(rng_)) + 1)})
+
+    def tau(h):
+        c = _decay(vario, np.array([h]), rng_)[0]
+        T = np.tile(props, (L, 1)) * (1 - c)
+        T[np.diag_indices(L)] += c
+        return T
+
+    def objective(cells):
+        cellset = set(cells)
+        total = 0.0
+        for axis in (0, 1):
+            for h in lags:
+                step = (int(h), 0) if axis == 0 else (0, int(h))
+                cnt = np.zeros((L, L))
+                for (a, b) in cells:
+                    nbp = (a + step[0], b + step[1])
+                    if nbp in cellset:
+                        cnt[g[(a, b)], g[nbp]] += 1
+                rows_ = cnt.sum(axis=1, keepdims=True)
+                if rows_.sum() == 0:
+                    continue
+                emp = np.where(rows_ > 0, cnt / np.maximum(rows_, 1), 0.0)
+                total += ((emp - tau(h)) ** 2)[rows_[:, 0] > 0].sum()
+        return total
+
+    changeable = sorted(g)
+    rng = np.random.default_rng(seed)
+    for _ in range(maxiter):
+        keepgoing = False
+        order = list(changeable)
+        rng.shuffle(order)
+        for (i, j) in order:
+            nb = [(i, j)]
+            for (di, dj) in offs:
+                p = (i + di, j + dj)
+                if p in g:
+                    nb.append(p)
+                    if len(nb) > maxneighbors:
+                        break
+            if len(nb) <= 2:
+                continue
+            nvals = [levels[g[p]] for p in nb[1:]]
+            mode = lev_idx[_mode_smallest(levels, nvals)]
+            old = g[(i, j)]
+            if mode == old:
+                continue
+            obj = objective(nb)
+            g[(i, j)] = mode
+            newobj = objective(nb)
+            if obj > 0 and abs(newobj - obj) / obj >= tol:
+                keepgoing = True
+            if not (newobj < obj):
+                g[(i, j)] = old
+        if not keepgoing:
+            break
+    return {p: levels[q] for p, q in g.items()}
+
+
+def replay_kriging_neighbors(src, tgt, vario, rng_, sill, nugget, k):
+    """Closed-form ordinary kriging over each target's exact k nearest
+    sources ((dist, id) tie-break)."""
+    sid = src[:, 0].astype(np.int64)
+    SX = src[:, 1:3]
+    sz = src[:, 3]
+
+    def gamma(h):
+        h = np.asarray(h, dtype=float)
+        if vario == "spherical":
+            hr = np.clip(h / rng_, 0.0, 1.0)
+            return nugget + (sill - nugget) * (1.5 * hr - 0.5 * hr**3)
+        if vario == "gaussian":
+            return nugget + (sill - nugget) * (1.0 - np.exp(-3.0 * (h / rng_) ** 2))
+        return nugget + (sill - nugget) * (1.0 - np.exp(-3.0 * (h / rng_)))
+
+    out = {}
+    for tid, tx, ty in tgt:
+        d2 = (tx - SX[:, 0]) ** 2 + (ty - SX[:, 1]) ** 2
+        d = np.sqrt(d2)
+        order = sorted(range(len(sid)), key=lambda q: (d[q], sid[q]))[:k]
+        X = SX[order]
+        z = sz[order]
+        kk = len(order)
+        H = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+        A = np.empty((kk + 1, kk + 1))
+        A[:kk, :kk] = gamma(H)
+        A[kk, :kk] = A[:kk, kk] = 1.0
+        A[kk, kk] = 0.0
+        h0 = np.sqrt(((X - [tx, ty]) ** 2).sum(-1))
+        b = np.concatenate([gamma(h0), [1.0]])
+        try:
+            lam = np.linalg.solve(A, b)[:kk]
+        except np.linalg.LinAlgError:
+            lam = np.linalg.lstsq(A, b, rcond=None)[0][:kk]
+        out[int(tid)] = float(lam @ z)
+    return out
+
+
+# ---- inputs via DuckDB (identical derivations to __spark_entry__) ---------
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    li_grid = """
+        SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS row_id,
+               (l_partkey % 64)::INT AS i,
+               (l_suppkey % 64)::INT AS j,
+               l_returnflag AS flag
+        FROM lineitem
+    """
+    g32 = con.execute(
+        f"WITH g AS ({li_grid}) SELECT (i // 2)::INT AS i, (j // 2)::INT AS j, "
+        "ARG_MIN(flag, row_id) AS flag FROM g GROUP BY 1, 2"
+    ).fetchall()
+    grid32 = {(i, j): flag for i, j, flag in g32}
+
+    g16 = con.execute(
+        f"WITH g AS ({li_grid}) SELECT (i // 4)::INT AS i, (j // 4)::INT AS j, "
+        "ARG_MIN(flag, row_id) AS flag FROM g GROUP BY 1, 2"
+    ).fetchall()
+    grid16 = {(i, j): flag for i, j, flag in g16}
+
+    cust = np.array(
+        con.execute(
+            "SELECT c_custkey::BIGINT, (c_custkey % 97)::DOUBLE, "
+            "(c_custkey % 89)::DOUBLE, c_acctbal::DOUBLE FROM customer"
+        ).fetchall(),
+        dtype=float,
+    )
+    supp = con.execute(
+        "SELECT s_suppkey::BIGINT, (s_suppkey % 97)::DOUBLE, "
+        "(s_suppkey % 89)::DOUBLE FROM supplier"
+    ).fetchall()
+
+    mf = replay_modefilter(grid32, maxneighbors=8, seed=42)
+    mp = replay_maxposterior(grid32, "gaussian", 2.0, maxneighbors=8)
+    qu = replay_quenching(
+        grid16, "spherical", 2.0, maxneighbors=26, tol=1e-2, maxiter=2, seed=42
+    )
+    kr = replay_kriging_neighbors(
+        cust, [(int(s), x, y) for s, x, y in supp],
+        "spherical", 30.0, 1.0, 0.01, k=8,
+    )
+
+    def grid_values_sql(g):
+        rows = ", ".join(
+            f"({i}, {j}, '{v}')" for (i, j), v in sorted(g.items())
+        )
+        return (
+            "SELECT col0::INT AS i, col1::INT AS j, col2 AS flag "
+            f"FROM (VALUES {rows})"
+        )
+
+    def round4(v):
+        return Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+
+    kr_rows = ", ".join(
+        f"({s}, {round4(v)})" for s, v in sorted(kr.items())
+    )
+    kr_sql = (
+        "SELECT col0::BIGINT AS supp, col1::DOUBLE AS bal "
+        f"FROM (VALUES {kr_rows})"
+    )
+
+    body = (
+        '"""Literal-table DuckDB oracles for the deterministic non-SQL queries,\n'
+        "generated by scripts/gen_literal_oracles.py from INDEPENDENT numpy\n"
+        "replays of the reference semantics over the sf0.01 driver tables.\n"
+        'Regenerate after changing any of those query definitions."""\n\n'
+        "LITERAL_ORACLES = {\n"
+        f'    "modefilter": """{grid_values_sql(mf)}""",\n'
+        f'    "maxposterior": """{grid_values_sql(mp)}""",\n'
+        f'    "quenching": """{grid_values_sql(qu)}""",\n'
+        f'    "kriging_neighbors": """{kr_sql}""",\n'
+        "}\n"
+    )
+    with open(OUT, "w") as f:
+        f.write(body)
+    print(f"wrote {OUT}: modefilter={len(mf)} maxposterior={len(mp)} "
+          f"quenching={len(qu)} kriging={len(kr)}")
+
+
+if __name__ == "__main__":
+    main()
