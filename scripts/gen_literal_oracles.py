@@ -17,11 +17,19 @@ from __future__ import annotations
 
 import itertools
 import math
+import os
+import re
 import sys
+from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkhash import spark_xxhash64  # noqa: E402  (pure-Python XXH64)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = "oracle_literals_sf001.py"
@@ -235,6 +243,146 @@ def replay_kriging_neighbors(src, tgt, vario, rng_, sill, nugget, k):
     return out
 
 
+# ---- text-op replays (independent of the engine's Catalyst expressions) ---
+#
+# The hash primitive is scripts/sparkhash.py — pure-Python canonical XXH64
+# (public spec), NOT the engine's JVM function.  Tokenization / shingling /
+# banding / voting below are re-derived from the documented operator
+# contracts; the bucket caps (1000) provably cannot bind at sf0.01 (500
+# docs ⇒ max bucket membership 500), so brute-force / tuple-equality
+# replays are semantically identical to the engine's banded joins.
+
+_WS = r"[ \t\n\x0b\f\r]+"  # Java regex \s (ASCII) — documents are ASCII
+
+
+def _split_ws(text: str) -> list:
+    """split(trim(lower(text)), '\\s+') — Spark semantics."""
+    return re.split(_WS, text.lower().strip(" "))
+
+
+def _norm_words(text: str) -> list:
+    """textops.dedup.words(): collapse whitespace to single spaces first."""
+    return re.sub(_WS, " ", text.lower().strip(" ")).split(" ")
+
+
+def _win_join(w: list, p: int, n: int) -> str:
+    # concat_ws(" ", element_at(w, p+i+1)...) skips out-of-range (null) slots
+    return " ".join(w[p + i] for i in range(n) if p + i < len(w))
+
+
+def replay_doc_fingerprint(rows):
+    """quality.doc_fingerprint: 4-word windows → xxhash64(str), folded with
+    acc' = xxhash64(acc:long, h:long) from acc=0."""
+    out = {}
+    for did, text in rows:
+        w = _split_ws(text)
+        acc = 0
+        for p in range(max(len(w) - 4, 0) + 1):
+            h = spark_xxhash64(_win_join(w, p, 4))
+            acc = spark_xxhash64(("long", acc), ("long", h))
+        out[int(did)] = acc
+    return out
+
+
+def replay_simhash_pairs(rows, max_hamming=3):
+    """simhash_64 + simhash_pairs: per-token xxhash64 bit votes → 64-bit
+    signature; pairs with Hamming ≤ max_hamming.  Brute-force all-pairs —
+    equivalent to the engine's banded join because bands = max_hamming + 1
+    gives the pigeonhole recall guarantee and no bucket cap binds."""
+    sigs = {}
+    for did, text in rows:
+        votes = [0] * 64
+        for tok in _norm_words(text):
+            if tok == "":
+                continue
+            h = spark_xxhash64(tok) & ((1 << 64) - 1)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sigs[int(did)] = sum(1 << i for i in range(64) if votes[i] > 0)
+    ids = sorted(sigs)
+    pairs = []
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= max_hamming:
+                pairs.append((a, b, d))
+    return pairs
+
+
+def replay_minhash_dedup(rows, k=64, shingle=3, bands=16, rows_per_band=4,
+                         threshold=0.7):
+    """minhash_signatures + minhash_lsh_pairs + greedy dedup: distinct word
+    shingles → k min(xxhash64(sh, i)) → band-tuple buckets → candidate
+    pairs → est-Jaccard ≥ threshold → drop larger ids.  Returns survivor
+    doc_ids.  Band-bucket equality replayed as tuple equality (the engine
+    hashes the tuple; equal tuples hash equal, spurious 2⁻⁶⁴ collisions
+    ignored)."""
+    sigs = {}
+    for did, text in rows:
+        w = _norm_words(text)
+        grams = list(dict.fromkeys(
+            _win_join(w, p, shingle) for p in range(max(len(w) - shingle, 0) + 1)
+        ))
+        sigs[int(did)] = [
+            min(spark_xxhash64(g, i) for g in grams) for i in range(k)
+        ]
+    cand = set()
+    for band in range(bands):
+        buckets = defaultdict(list)
+        for did in sorted(sigs):
+            key = tuple(sigs[did][band * rows_per_band:(band + 1) * rows_per_band])
+            buckets[key].append(did)
+        for mem in buckets.values():
+            assert len(mem) <= 1000, "bucket cap would bind — replay invalid"
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    cand.add((mem[i], mem[j]))
+    losers = set()
+    for a, b in cand:
+        eq = sum(1 for i in range(k) if sigs[a][i] == sigs[b][i])
+        if eq / k >= threshold:
+            losers.add(max(a, b))
+    return set(sigs) - losers
+
+
+# ---- image-gradient replay -------------------------------------------------
+
+
+def _sobel_dense(a: np.ndarray, axis: int) -> np.ndarray:
+    """Independent 3×3 Sobel (replicate border): dense kernel accumulation,
+    not the engine's separable slicing."""
+    d = np.array([-0.5, 0.0, 0.5])
+    s = np.array([0.25, 0.5, 0.25])
+    kern = np.outer(d, s) if axis == 0 else np.outer(s, d)
+    p = np.pad(a, 1, mode="edge")
+    H, W = a.shape
+    out = np.zeros_like(a)
+    for di in range(3):
+        for dj in range(3):
+            if kern[di, dj] != 0.0:
+                out += kern[di, dj] * p[di:di + H, dj:dj + W]
+    return out
+
+
+def replay_image_gradient(n=200, seed=42):
+    """Per-image Sobel |∇| mean/max over the synthetic input contract.
+    `make_image` reconstructs the INPUT pixels (it is the table's defining
+    pure function, FIXTURES.md F1); the jpeg stub's documented quantization
+    (x & 0xFC | 0x02) is applied; the gradient itself is computed by the
+    dense replay above, independent of operators/gradient.py."""
+    from geostatstransforms_jl_spark.core.images import make_image
+
+    out = []
+    for i in range(n):
+        pix, w, h, fmt, _, _, _ = make_image(i, seed)
+        if fmt == "jpeg":
+            pix = (pix & 0xFC) | 0x02
+        a = pix.astype(np.float64).T  # [i, j] layout
+        mag = np.hypot(_sobel_dense(a, 0), _sobel_dense(a, 1))
+        out.append((f"img{i:08d}", float(mag.mean()), float(mag.max())))
+    return out
+
+
 # ---- inputs via DuckDB (identical derivations to __spark_entry__) ---------
 
 
@@ -306,6 +454,51 @@ def main():
         f"FROM (VALUES {kr_rows})"
     )
 
+    docs = con.execute(
+        "SELECT doc_id::BIGINT, text, lang, source FROM documents ORDER BY doc_id"
+    ).fetchall()
+    doc_rows = [(d, t) for d, t, _, _ in docs]
+
+    fp = replay_doc_fingerprint(doc_rows)
+    fp_sql = (
+        "SELECT col0::BIGINT AS doc_id, col1::BIGINT AS fingerprint FROM (VALUES "
+        + ", ".join(f"({d}, {h})" for d, h in sorted(fp.items()))
+        + ")"
+    )
+
+    sp = replay_simhash_pairs(doc_rows, max_hamming=3)
+    sp_sql = (
+        "SELECT col0::BIGINT AS a, col1::BIGINT AS b, col2::INT AS hamming "
+        "FROM (VALUES "
+        + ", ".join(f"({a}, {b}, {d})" for a, b, d in sorted(sp))
+        + ")"
+    )
+
+    def q(s):  # SQL string literal
+        return "'" + s.replace("'", "''") + "'"
+
+    survivors = replay_minhash_dedup(doc_rows, threshold=0.7)
+    md_sql = (
+        "SELECT col0::BIGINT AS doc_id, col1 AS lang, col2 AS source "
+        "FROM (VALUES "
+        + ", ".join(
+            f"({d}, {q(lang)}, {q(src)})"
+            for d, _, lang, src in docs if d in survivors
+        )
+        + ")"
+    )
+
+    def round6(v):
+        return Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    ig = replay_image_gradient(200, seed=42)
+    ig_sql = (
+        "SELECT col0 AS image_id, col1::DOUBLE AS grad_mean, "
+        "col2::DOUBLE AS grad_max FROM (VALUES "
+        + ", ".join(f"({q(i)}, {round6(m)}, {round6(x)})" for i, m, x in ig)
+        + ")"
+    )
+
     body = (
         '"""Literal-table DuckDB oracles for the deterministic non-SQL queries,\n'
         "generated by scripts/gen_literal_oracles.py from INDEPENDENT numpy\n"
@@ -316,12 +509,18 @@ def main():
         f'    "maxposterior": """{grid_values_sql(mp)}""",\n'
         f'    "quenching": """{grid_values_sql(qu)}""",\n'
         f'    "kriging_neighbors": """{kr_sql}""",\n'
+        f'    "doc_fingerprint": """{fp_sql}""",\n'
+        f'    "simhash_pairs": """{sp_sql}""",\n'
+        f'    "minhash_dedup": """{md_sql}""",\n'
+        f'    "image_gradient": """{ig_sql}""",\n'
         "}\n"
     )
     with open(OUT, "w") as f:
         f.write(body)
     print(f"wrote {OUT}: modefilter={len(mf)} maxposterior={len(mp)} "
-          f"quenching={len(qu)} kriging={len(kr)}")
+          f"quenching={len(qu)} kriging={len(kr)} fingerprint={len(fp)} "
+          f"simhash_pairs={len(sp)} minhash_survivors={len(survivors)} "
+          f"image_gradient={len(ig)}")
 
 
 if __name__ == "__main__":
