@@ -383,6 +383,91 @@ def replay_image_gradient(n=200, seed=42):
     return out
 
 
+# ---- ANN replays -----------------------------------------------------------
+#
+# Deterministic by construction (seeded hyperplanes / seeded-hash sample
+# order / seeded k-means++).  The replays re-derive the DISTRIBUTED pipeline
+# — bucket assignment, candidate joins, dedup, exact re-rank, windowed
+# top-k — in plain numpy/python.  Two driver-side pure functions are shared
+# by contract rather than re-implemented: the hyperplane draw and k-means++
+# centroid training (both run on the driver in the engine too; the oracle's
+# risk surface is the distributed plumbing around them).  Cosines mimic the
+# JVM evaluation order: float32 elementwise product, float64 accumulation.
+
+
+def _cosine_jvm(a: np.ndarray, b: np.ndarray) -> float:
+    prod = (a.astype(np.float32) * b.astype(np.float32)).astype(np.float64)
+    na = math.sqrt(float(np.sum((a.astype(np.float32) * a.astype(np.float32)).astype(np.float64))))
+    nb = math.sqrt(float(np.sum((b.astype(np.float32) * b.astype(np.float32)).astype(np.float64))))
+    return float(np.sum(prod)) / (na * nb)
+
+
+def _topk_rerank(cand: dict, vecs: dict, k: int) -> list:
+    """cand: q_id -> set of c_ids; exact cosine re-rank, ties by c_id."""
+    out = []
+    for qid in sorted(cand):
+        scored = sorted(
+            ((c, _cosine_jvm(vecs[qid], vecs[c])) for c in cand[qid]),
+            key=lambda t: (-t[1], t[0]),
+        )
+        out.extend((qid, c, cos) for c, cos in scored[:k])
+    return out
+
+
+def replay_ann_lsh_topk(vecs, k=5, dim=64, n_tables=12, n_bits=8, seed=7,
+                        n_queries=16):
+    """functions/ann.lsh_topk: sign-bit buckets per table, bucket equi-join
+    candidates, exact re-rank."""
+    ids = sorted(vecs)
+    V = np.stack([vecs[i] for i in ids])  # float32
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((n_tables, n_bits, dim))
+    cand = defaultdict(set)
+    for t in range(n_tables):
+        signs = (V @ H[t].T) > 0
+        buckets = (signs * (1 << np.arange(n_bits))).sum(axis=1)
+        by_bucket = defaultdict(list)
+        for i, b in zip(ids, buckets):
+            by_bucket[int(b)].append(i)
+        for mem in by_bucket.values():
+            qs = [i for i in mem if i < n_queries]
+            for qid in qs:
+                for c in mem:
+                    if c != qid:
+                        cand[qid].add(c)
+    return _topk_rerank(cand, vecs, k)
+
+
+def replay_ann_ivf_topk(vecs, k=5, n_centroids=8, nprobe=3, seed=7,
+                        train_sample=2000, n_queries=16):
+    """functions/ann.ivf_topk: seeded-hash sample order → k-means centroids
+    → inverted lists (corpus: nearest list; queries: nprobe lists) →
+    list equi-join candidates → exact re-rank."""
+    from geostatstransforms_jl_spark.functions.cluster_numlib import kmeans
+
+    order = sorted(vecs, key=lambda vid: spark_xxhash64(("long", vid), seed))
+    X = np.stack([vecs[i] for i in order[:train_sample]]).astype(float)
+    _, C = kmeans(X, n_centroids, maxiter=20, seed=seed)
+
+    ids = sorted(vecs)
+    V = np.stack([vecs[i] for i in ids]).astype(float)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)
+    corpus_list = {i: int(idx[r, 0]) for r, i in enumerate(ids)}
+    lists = defaultdict(list)
+    for i, l in corpus_list.items():
+        lists[l].append(i)
+    cand = defaultdict(set)
+    for r, i in enumerate(ids):
+        if i >= n_queries:
+            continue
+        for l in idx[r, :nprobe]:
+            for c in lists[int(l)]:
+                if c != i:
+                    cand[i].add(c)
+    return _topk_rerank(cand, vecs, k)
+
+
 # ---- inputs via DuckDB (identical derivations to __spark_entry__) ---------
 
 
@@ -491,6 +576,28 @@ def main():
     def round6(v):
         return Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
 
+    def round5(v):
+        return Decimal(repr(v)).quantize(Decimal("0.00001"), rounding=ROUND_HALF_UP)
+
+    import pyarrow.parquet as pq
+
+    et = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(vid): np.asarray(emb, dtype=np.float32)
+        for vid, emb in zip(et["vec_id"].to_pylist(), et["embedding"].to_pylist())
+    }
+
+    def ann_sql(rows):
+        return (
+            "SELECT col0::BIGINT AS q_id, col1::BIGINT AS c_id, "
+            "col2::DOUBLE AS cosine FROM (VALUES "
+            + ", ".join(f"({a}, {b}, {round5(c)})" for a, b, c in rows)
+            + ")"
+        )
+
+    lsh = replay_ann_lsh_topk(vecs)
+    ivf = replay_ann_ivf_topk(vecs)
+
     ig = replay_image_gradient(200, seed=42)
     ig_sql = (
         "SELECT col0 AS image_id, col1::DOUBLE AS grad_mean, "
@@ -513,6 +620,8 @@ def main():
         f'    "simhash_pairs": """{sp_sql}""",\n'
         f'    "minhash_dedup": """{md_sql}""",\n'
         f'    "image_gradient": """{ig_sql}""",\n'
+        f'    "ann_lsh_topk": """{ann_sql(lsh)}""",\n'
+        f'    "ann_ivf_topk": """{ann_sql(ivf)}""",\n'
         "}\n"
     )
     with open(OUT, "w") as f:
@@ -520,7 +629,7 @@ def main():
     print(f"wrote {OUT}: modefilter={len(mf)} maxposterior={len(mp)} "
           f"quenching={len(qu)} kriging={len(kr)} fingerprint={len(fp)} "
           f"simhash_pairs={len(sp)} minhash_survivors={len(survivors)} "
-          f"image_gradient={len(ig)}")
+          f"image_gradient={len(ig)} ann_lsh={len(lsh)} ann_ivf={len(ivf)}")
 
 
 if __name__ == "__main__":
