@@ -1,6 +1,7 @@
 """Generate literal-table DuckDB oracles for the deterministic-but-not-SQL
 queries (VERDICT r2 next-step 6): `modefilter`, `maxposterior`, `quenching`,
-`kriging_neighbors`.
+`kriging_neighbors`, `doc_fingerprint`, `simhash_pairs`, `minhash_dedup`,
+`image_gradient`, `ann_lsh_topk`, `ann_ivf_topk`, `image_potrace`.
 
 The expected outputs are computed here with INDEPENDENT numpy replays of the
 reference semantics (the same replay logic as tests/test_differential_replays.py
@@ -383,6 +384,54 @@ def replay_image_gradient(n=200, seed=42):
     return out
 
 
+# ---- potrace polygon-count replay ------------------------------------------
+
+
+def _count_components_4(mask: np.ndarray) -> int:
+    """4-connected components via flood fill — independent of the engine's
+    Selinger edge walk.  Equivalence: with the reference's left-turn policy
+    at ambiguous crossings (src/potrace.jl:214-222) foreground diagonals are
+    split, so the region is 4-connected, and _paths_to_polys makes every
+    even-depth contour (= every foreground component, top-level or island)
+    exactly one polygon — n_polys == #components."""
+    seen = np.zeros(mask.shape, dtype=bool)
+    n = 0
+    H, W = mask.shape
+    for si in range(H):
+        for sj in range(W):
+            if mask[si, sj] and not seen[si, sj]:
+                n += 1
+                stack = [(si, sj)]
+                seen[si, sj] = True
+                while stack:
+                    i, j = stack.pop()
+                    for ni, nj in ((i-1, j), (i+1, j), (i, j-1), (i, j+1)):
+                        if 0 <= ni < H and 0 <= nj < W and mask[ni, nj] and not seen[ni, nj]:
+                            seen[ni, nj] = True
+                            stack.append((ni, nj))
+    return n
+
+
+def replay_image_potrace(seed=42):
+    """q_image_potrace: 24 synthetic images filtered to 32×32 (n = 4, 13, 22
+    — all PNG, no jpeg quantization), threshold mask z > 127.5, per-(image,
+    mask-value) polygon count."""
+    from geostatstransforms_jl_spark.core.images import SIZES, make_image
+
+    rows = []
+    for n in range(24):
+        if SIZES[n % 3] != 32 or SIZES[(n // 3) % 3] != 32:
+            continue
+        pix, w, h, fmt, _, _, _ = make_image(n, seed)
+        if fmt == "jpeg":
+            pix = (pix & 0xFC) | 0x02
+        grid = pix.astype(np.float64).T  # [i, j]
+        for m in (0, 1):
+            mask = (grid > 127.5) == bool(m)
+            rows.append((f"img{n:08d}", m, _count_components_4(mask)))
+    return rows
+
+
 # ---- ANN replays -----------------------------------------------------------
 #
 # Deterministic by construction (seeded hyperplanes / seeded-hash sample
@@ -598,6 +647,14 @@ def main():
     lsh = replay_ann_lsh_topk(vecs)
     ivf = replay_ann_ivf_topk(vecs)
 
+    pot = replay_image_potrace(seed=42)
+    pot_sql = (
+        "SELECT col0 AS image_id, col1::INT AS m, col2::INT AS n_polys "
+        "FROM (VALUES "
+        + ", ".join(f"({q(i)}, {m}, {c})" for i, m, c in pot)
+        + ")"
+    )
+
     ig = replay_image_gradient(200, seed=42)
     ig_sql = (
         "SELECT col0 AS image_id, col1::DOUBLE AS grad_mean, "
@@ -629,7 +686,7 @@ def main():
     print(f"wrote {OUT}: modefilter={len(mf)} maxposterior={len(mp)} "
           f"quenching={len(qu)} kriging={len(kr)} fingerprint={len(fp)} "
           f"simhash_pairs={len(sp)} minhash_survivors={len(survivors)} "
-          f"image_gradient={len(ig)} ann_lsh={len(lsh)} ann_ivf={len(ivf)}")
+          f"image_gradient={len(ig)} ann_lsh={len(lsh)} ann_ivf={len(ivf)} potrace={len(pot)}")
 
 
 if __name__ == "__main__":
