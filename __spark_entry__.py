@@ -616,6 +616,55 @@ def q_knn3d_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gradient_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-D Sobel (reference imgradients is dimension-generic,
+    src/gradient.jl:56) over a complete 16×16×8 lineitem grid with
+    anisotropic spacings — SQL-expressible on a complete grid as a chain of
+    1-D windows (central difference on the derivative axis, [1,2,1]/4
+    smoothing on each other axis), so it gets a full DuckDB oracle."""
+    from geostatstransforms_jl_spark.operators.gradient import gradient_nd_long_df
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    g = (
+        li.select(
+            (F.col("l_partkey") % 16).cast("int").alias("i"),
+            (F.col("l_suppkey") % 16).cast("int").alias("j"),
+            (F.col("l_orderkey") % 8).cast("int").alias("l"),
+            F.col("l_quantity").cast("double").alias("q"),
+        )
+        .groupBy("i", "j", "l")
+        .agg(F.round(F.avg("q"), 6).alias("q"))
+    )
+    out = gradient_nd_long_df(
+        g, "q", dims=(16, 16, 8), spacings=(1.0, 2.0, 0.5),
+        index_cols=("i", "j", "l"),
+    )
+    return out.select(
+        "i", "j", "l",
+        F.round("q_x", 6).alias("q_x"),
+        F.round("q_y", 6).alias("q_y"),
+        F.round("q_z", 6).alias("q_z"),
+    )
+
+
+def q_units_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AbsoluteUnits at ingest (reference src/utils.jl:27-31; the °C→K
+    affine case is its canonical fixture): named units from the built-in
+    table plus an explicit (scale, offset) escape-hatch pair."""
+    from geostatstransforms_jl_spark.operators.tabletransforms import absolute_units_df
+
+    pts = _supplier_points(spark, sf_dir)
+    out = absolute_units_df(
+        pts, {"bal": "degC", "x": "km", "y": (2.5, -3.0)}
+    )
+    return out.select(
+        "row_id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("bal", 6).alias("bal"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -664,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_roundtrip": q_detrend_roundtrip,
         "uniquecoords_3d": q_uniquecoords_3d,
         "knn3d_transfer": q_knn3d_transfer,
+        "gradient_3d": q_gradient_3d,
+        "units_convert": q_units_convert,
     }
 
 
@@ -1125,6 +1176,51 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND((MIN({{'d': sqrt((t.x-s.x)*(t.x-s.x)+(t.y-s.y)*(t.y-s.y)+(t.z-s.z)*(t.z-s.z)),
                          'rid': s.row_id, 'q': s.q}})).q, 6) AS q
             FROM t CROSS JOIN s GROUP BY t.rid
+        """,
+        # separable n-D Sobel on a complete grid: replicate border via
+        # COALESCE(LEAD/LAG, center); conv order mirrors the engine's
+        # sobel_axis (axis 0, then 1, then 2); spacings (1.0, 2.0, 0.5)
+        "gradient_3d": """
+            WITH g AS (
+              SELECT (l_partkey % 16)::INT AS i,
+                     (l_suppkey % 16)::INT AS j,
+                     (l_orderkey % 8)::INT AS l,
+                     ROUND(AVG(l_quantity::DOUBLE), 6) AS q
+              FROM lineitem GROUP BY 1, 2, 3
+            ),
+            a0 AS (  -- axis-0 pass: deriv for gx, smooth for gy/gz
+              SELECT i, j, l,
+                (COALESCE(LEAD(q) OVER wi, q) - COALESCE(LAG(q) OVER wi, q)) / 2.0 AS dx,
+                (COALESCE(LAG(q) OVER wi, q) + 2 * q + COALESCE(LEAD(q) OVER wi, q)) / 4.0 AS sm
+              FROM g WINDOW wi AS (PARTITION BY j, l ORDER BY i)
+            ),
+            a1 AS (  -- axis-1 pass
+              SELECT i, j, l,
+                (COALESCE(LAG(dx) OVER wj, dx) + 2 * dx + COALESCE(LEAD(dx) OVER wj, dx)) / 4.0 AS gx1,
+                (COALESCE(LEAD(sm) OVER wj, sm) - COALESCE(LAG(sm) OVER wj, sm)) / 2.0 AS gy1,
+                (COALESCE(LAG(sm) OVER wj, sm) + 2 * sm + COALESCE(LEAD(sm) OVER wj, sm)) / 4.0 AS gz1
+              FROM a0 WINDOW wj AS (PARTITION BY i, l ORDER BY j)
+            ),
+            a2 AS (  -- axis-2 pass
+              SELECT i, j, l,
+                (COALESCE(LAG(gx1) OVER wl, gx1) + 2 * gx1 + COALESCE(LEAD(gx1) OVER wl, gx1)) / 4.0 AS gx,
+                (COALESCE(LAG(gy1) OVER wl, gy1) + 2 * gy1 + COALESCE(LEAD(gy1) OVER wl, gy1)) / 4.0 AS gy,
+                (COALESCE(LEAD(gz1) OVER wl, gz1) - COALESCE(LAG(gz1) OVER wl, gz1)) / 2.0 AS gz
+              FROM a1 WINDOW wl AS (PARTITION BY i, j ORDER BY l)
+            )
+            SELECT i, j, l,
+                   ROUND(gx / 1.0, 6) AS q_x,
+                   ROUND(gy / 2.0, 6) AS q_y,
+                   ROUND(gz / 0.5, 6) AS q_z
+            FROM a2
+        """,
+        "units_convert": f"""
+            WITH p AS ({_SUPP_PTS})
+            SELECT row_id,
+                   ROUND(1000.0 * x + 0.0, 6) AS x,
+                   ROUND(2.5 * y + -3.0, 6) AS y,
+                   ROUND(1.0 * bal + 273.15, 6) AS bal
+            FROM p
         """,
     }
 

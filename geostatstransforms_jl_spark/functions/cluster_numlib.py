@@ -98,7 +98,9 @@ def kmeans(X: np.ndarray, k: int, tol: float = 1e-4, maxiter: int = 10, seed: in
         probs = d2 / tot
         centers.append(X[int(rng.choice(n, p=probs))])
     C = np.asarray(centers, dtype=float)
-    prev = np.inf
+    # prev=None (not inf): `inf - obj <= tol*inf` is inf <= inf = True, which
+    # silently stopped Lloyd after a single iteration
+    prev = None
     labels = np.zeros(n, dtype=np.int64)
     for _ in range(maxiter):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
@@ -108,7 +110,7 @@ def kmeans(X: np.ndarray, k: int, tol: float = 1e-4, maxiter: int = 10, seed: in
             m = labels == c
             if m.any():
                 C[c] = X[m].mean(axis=0)
-        if prev - obj <= tol * abs(prev):
+        if prev is not None and prev - obj <= tol * abs(prev):
             break
         prev = obj
     return labels + 1, C

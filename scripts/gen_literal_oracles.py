@@ -384,6 +384,259 @@ def replay_image_gradient(n=200, seed=42):
     return out
 
 
+# ---- clustering replays ----------------------------------------------------
+#
+# SLIC / GHC / GSC are deterministic end-to-end (no RNG except GSC's seeded
+# k-means++).  Each replay below re-derives the full algorithm from the
+# reference semantics (src/clustering/slic.jl, ghc.jl, gsc.jl) in plain
+# loops/numpy — independent code from the engine's Spark jobs and matmul
+# formulations; eigendecomposition and RNG go through the public numpy APIs
+# the contracts name.  Integer labels make the comparison exact: any
+# divergence in standardization, lattice order, tie-breaks, Lloyd updates,
+# ward merges, or eigenvector selection flips a label.
+
+
+def _std_feat(v: np.ndarray) -> np.ndarray:
+    sd = v.std(ddof=1)
+    return (v - v.mean()) / (sd if sd > 0 else 1.0)
+
+
+def _slic_spacing(k: int, sides):
+    l = list(sides)
+    d = len(l)
+    if d == 1:
+        return [l[0] / k]
+    j = int(np.argmax(l))
+    kj = math.ceil(k ** (1.0 / d))
+    sj = l[j] / kj
+    s = _slic_spacing(math.ceil(k / kj), l[:j] + l[j + 1:])
+    return s[:j] + [sj] + s[j:]
+
+
+def _nn1(qx, qy, pts):
+    """(d2, row_id)-min nearest neighbor; pts: list of (rid, x, y)."""
+    best = None
+    for rid, x, y in pts:
+        d2 = (qx - x) * (qx - x) + (qy - y) * (qy - y)
+        key = (d2, rid)
+        if best is None or key < best:
+            best = key
+    return best[1]
+
+
+def replay_slic(rows, k=8, m=1.0, tol=1e-4, maxiter=10):
+    """src/clustering/slic.jl:41-204 over (row_id, x, y, bal) points:
+    standardized features, recursive spacing, first-axis-fastest lattice,
+    unique 1-NN snaps as initial centers, ball-restricted Lloyd with
+    monotone (dt, k) improvement, medoid update, mean-dist convergence,
+    orphan 1-NN labels."""
+    rows = sorted(rows)
+    rid = [r[0] for r in rows]
+    X = np.array([[r[1], r[2]] for r in rows], dtype=float)
+    z = _std_feat(np.array([r[3] for r in rows], dtype=float))
+    n = len(rows)
+    los = X.min(axis=0)
+    his = X.max(axis=0)
+    spac = _slic_spacing(k, list(his - los))
+    s_max = max(spac)
+    axes = [
+        np.arange(lo + s / 2, hi, s) if s > 0 else np.array([lo])
+        for lo, hi, s in zip(los, his, spac)
+    ]
+    pts = list(zip(rid, X[:, 0], X[:, 1]))
+    seen, center_ids = set(), []
+    for y in axes[1]:          # first axis (x) fastest
+        for x in axes[0]:
+            r = _nn1(float(x), float(y), pts)
+            if r not in seen:
+                seen.add(r)
+                center_ids.append(r)
+    idx_of = {r: i for i, r in enumerate(rid)}
+
+    label = np.zeros(n, dtype=np.int64)
+    dist = np.full(n, np.inf)
+    delta_cur = float("inf")
+    ids = list(center_ids)
+    for _ in range(maxiter):
+        C = [(ki + 1, X[idx_of[i]], z[idx_of[i]]) for ki, i in enumerate(ids)]
+        for p in range(n):
+            best = None
+            for kk, cx, cz in C:
+                ds2 = (X[p, 0] - cx[0]) ** 2 + (X[p, 1] - cx[1]) ** 2
+                if ds2 > s_max * s_max:
+                    continue
+                dv2 = (z[p] - cz) ** 2
+                dt = math.sqrt(dv2 + m * m * ds2 / (s_max * s_max))
+                key = (dt, kk)
+                if best is None or key < best:
+                    best = key
+            if best is not None and best[0] < dist[p]:
+                dist[p] = best[0]
+                label[p] = best[1]
+        # medoid update: member nearest the member coordinate mean
+        medoid = {}
+        for lab in sorted(set(label[label > 0])):
+            mem = np.flatnonzero(label == lab)
+            mean = X[mem].mean(axis=0)
+            best = None
+            for p in mem:
+                dm = math.sqrt(((X[p] - mean) ** 2).sum())
+                key = (dm, rid[p])
+                if best is None or key < best:
+                    best = key
+            medoid[int(lab)] = best[1]
+        ids = [medoid.get(ki + 1, i) for ki, i in enumerate(ids)]
+        delta_new = float(dist.mean())
+        if (
+            delta_cur != 0.0
+            and math.isfinite(delta_new)
+            and math.isfinite(delta_cur)
+            and abs(delta_new - delta_cur) / delta_cur < tol
+        ):
+            break
+        delta_cur = delta_new
+
+    out = {}
+    assigned = [(rid[p], X[p, 0], X[p, 1]) for p in range(n) if label[p] > 0]
+    lab_of = {rid[p]: int(label[p]) for p in range(n) if label[p] > 0}
+    for p in range(n):
+        if label[p] > 0:
+            out[rid[p]] = int(label[p])
+        else:
+            out[rid[p]] = lab_of[_nn1(X[p, 0], X[p, 1], assigned)]
+    return out
+
+
+def _ward_merges(D: np.ndarray):
+    """Lance-Williams Ward on squared distances; greedy global-min merges,
+    surviving representative min(i, j) — re-derived from hclust(:ward)."""
+    n = D.shape[0]
+    w = D.astype(np.float64) ** 2
+    np.fill_diagonal(w, np.inf)
+    sizes = np.ones(n, dtype=np.int64)
+    merges = []
+    for _ in range(n - 1):
+        i, j = divmod(int(np.argmin(w)), n)
+        if i > j:
+            i, j = j, i
+        ni, nj, wij = sizes[i], sizes[j], w[i, j]
+        for t in range(n):
+            if t in (i, j) or not np.isfinite(w[t, t]) and False:
+                continue
+            new = ((ni + sizes[t]) * w[i, t] + (nj + sizes[t]) * w[j, t]
+                   - sizes[t] * wij) / (ni + nj + sizes[t])
+            w[i, t] = w[t, i] = new
+        w[i, i] = np.inf
+        w[j, :] = np.inf
+        w[:, j] = np.inf
+        sizes[i] = ni + nj
+        merges.append((i, j))
+    return merges
+
+
+def _cut_labels(merges, n: int, k: int) -> np.ndarray:
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (i, j) in merges[: max(0, n - k)]:
+        ri, rj = find(i), find(j)
+        parent[max(ri, rj)] = min(ri, rj)
+    labels = np.zeros(n, dtype=np.int64)
+    mapping = {}
+    for i in range(n):
+        r = find(i)
+        if r not in mapping:
+            mapping[r] = len(mapping) + 1
+        labels[i] = mapping[r]
+    return labels
+
+
+def replay_ghc(rows, k=5, lam=10.0, kern="epanechnikov"):
+    """src/clustering/ghc.jl:53-255 over (row_id, x, y, bal): standardized
+    features, epanechnikov kernel weights, per-pair dissimilarity computed
+    entry-by-entry (not the engine's dense matmuls), Ward + cutree with
+    first-occurrence label numbering."""
+    rows = sorted(rows)
+    rid = [r[0] for r in rows]
+    X = np.array([[r[1], r[2]] for r in rows], dtype=float)
+    z = _std_feat(np.array([r[3] for r in rows], dtype=float))
+    n = len(rows)
+    H = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    if kern == "epanechnikov":
+        K = (H <= lam) * (lam ** 2 - H ** 2)
+    elif kern == "triangular":
+        K = (H <= lam) * (lam - H)
+    else:
+        K = (H <= lam).astype(float)
+    s = K.sum(axis=0)
+    delta = z[:, None] - z[None, :]
+    Dij = delta * delta
+    num = K.T @ Dij @ K
+    denom = np.outer(s, s)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        D = np.where(denom > 0, 0.5 * num / denom, 0.0)
+    np.fill_diagonal(D, 0.0)
+    D = np.maximum(D, 0.0)
+    labels = _cut_labels(_ward_merges(D), n, k)
+    return dict(zip(rid, labels.tolist()))
+
+
+def _kmeans_pp(X: np.ndarray, k: int, tol: float, maxiter: int, seed: int):
+    """k-means++ + Lloyd re-derived from the documented contract (seeded
+    default_rng; integers / p-weighted choice draws; relative-objective
+    stop after the first iteration)."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    centers = [X[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = np.min(((X[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1), axis=1)
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[int(rng.integers(n))])
+            continue
+        centers.append(X[int(rng.choice(n, p=d2 / tot))])
+    C = np.asarray(centers, dtype=float)
+    prev = None
+    labels = np.zeros(n, dtype=np.int64)
+    for _ in range(maxiter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        labels = np.argmin(d2, axis=1)
+        obj = d2[np.arange(n), labels].sum()
+        for c in range(k):
+            msk = labels == c
+            if msk.any():
+                C[c] = X[msk].mean(axis=0)
+        if prev is not None and prev - obj <= tol * abs(prev):
+            break
+        prev = obj
+    return labels + 1
+
+
+def replay_gsc(rows, k=4, m=2.0, sigma=1.0, tol=1e-4, maxiter=10, seed=0):
+    """src/clustering/gsc.jl:40-101 over (row_id, x, y, bal) points:
+    TableDistance affinity exp(−Δ/σ²) (no grid adjacency on a point
+    domain, so `m` never applies), normalized Laplacian, top-k
+    eigenvectors, seeded k-means++ on the spectral rows."""
+    rows = sorted(rows)
+    rid = [r[0] for r in rows]
+    z = np.array([r[3] for r in rows], dtype=float)  # NOT standardized
+    diff = z[:, None] - z[None, :]
+    delta = np.sqrt(1.0 * diff * diff)
+    E = np.exp(-delta / (sigma * sigma))
+    deg = E.sum(axis=1)
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-300))
+    L = E * np.outer(dinv, dinv)
+    vals, vecs = np.linalg.eigh(L)
+    V = vecs[:, np.argsort(vals)[::-1][:k]]
+    labels = _kmeans_pp(V, k, tol, maxiter, seed)
+    return dict(zip(rid, labels.tolist()))
+
+
 # ---- potrace polygon-count replay ------------------------------------------
 
 
@@ -655,6 +908,35 @@ def main():
         + ")"
     )
 
+    # clustering trio: deterministic end-to-end (GSC's k-means++ is seeded),
+    # so integer labels admit literal oracles like the sequential filters
+    slic_rows = [
+        (int(r[0]), float(r[1]), float(r[2]), float(r[3])) for r in cust
+    ]
+    sl = replay_slic(slic_rows, k=8, m=1.0)
+    sl_sql = (
+        "SELECT col0::BIGINT AS row_id, col1::INT AS label FROM (VALUES "
+        + ", ".join(f"({r}, {l})" for r, l in sorted(sl.items()))
+        + ")"
+    )
+
+    supp4 = con.execute(
+        "SELECT s_suppkey::BIGINT, (s_suppkey % 97)::DOUBLE, "
+        "(s_suppkey % 89)::DOUBLE, s_acctbal::DOUBLE FROM supplier"
+    ).fetchall()
+    gh = replay_ghc(supp4, k=5, lam=10.0)
+    gh_sql = (
+        "SELECT col0::BIGINT AS row_id, col1::BIGINT AS label FROM (VALUES "
+        + ", ".join(f"({r}, {l})" for r, l in sorted(gh.items()))
+        + ")"
+    )
+    gs = replay_gsc(supp4, k=4, m=2.0)
+    gs_sql = (
+        "SELECT col0::BIGINT AS row_id, col1::BIGINT AS label FROM (VALUES "
+        + ", ".join(f"({r}, {l})" for r, l in sorted(gs.items()))
+        + ")"
+    )
+
     ig = replay_image_gradient(200, seed=42)
     ig_sql = (
         "SELECT col0 AS image_id, col1::DOUBLE AS grad_mean, "
@@ -679,6 +961,10 @@ def main():
         f'    "image_gradient": """{ig_sql}""",\n'
         f'    "ann_lsh_topk": """{ann_sql(lsh)}""",\n'
         f'    "ann_ivf_topk": """{ann_sql(ivf)}""",\n'
+        f'    "image_potrace": """{pot_sql}""",\n'
+        f'    "slic_clusters": """{sl_sql}""",\n'
+        f'    "ghc_clusters": """{gh_sql}""",\n'
+        f'    "gsc_clusters": """{gs_sql}""",\n'
         "}\n"
     )
     with open(OUT, "w") as f:
@@ -686,7 +972,8 @@ def main():
     print(f"wrote {OUT}: modefilter={len(mf)} maxposterior={len(mp)} "
           f"quenching={len(qu)} kriging={len(kr)} fingerprint={len(fp)} "
           f"simhash_pairs={len(sp)} minhash_survivors={len(survivors)} "
-          f"image_gradient={len(ig)} ann_lsh={len(lsh)} ann_ivf={len(ivf)} potrace={len(pot)}")
+          f"image_gradient={len(ig)} ann_lsh={len(lsh)} ann_ivf={len(ivf)} potrace={len(pot)} "
+          f"slic={len(sl)} ghc={len(gh)} gsc={len(gs)}")
 
 
 if __name__ == "__main__":

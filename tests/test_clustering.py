@@ -287,3 +287,20 @@ def test_maxposterior_order_free_determinism(spark):
     ra = {(r.i, r.j): r.z for r in a.df.collect()}
     rb = {(r.i, r.j): r.z for r in b.df.collect()}
     assert ra == rb
+
+
+def test_kmeans_lloyd_iterates_past_init():
+    # regression: prev=inf made `prev - obj <= tol*abs(prev)` true on the
+    # first pass (inf <= inf), silently stopping Lloyd after one iteration
+    import numpy as np
+    from geostatstransforms_jl_spark.functions.cluster_numlib import kmeans
+
+    def obj(X, C):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return d2.min(axis=1).sum()
+
+    rng = np.random.default_rng(14)
+    X = rng.uniform(0, 1, (200, 2))
+    _, C1 = kmeans(X, 6, maxiter=1, seed=4)
+    _, C25 = kmeans(X, 6, maxiter=25, seed=4)
+    assert obj(X, C25) < obj(X, C1) - 1e-6
