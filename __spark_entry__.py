@@ -665,6 +665,42 @@ def q_units_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon spatial join (north-star geofence/tile-assignment
+    core; containment rule identical to the rasterizer's even-odd scanline,
+    reference src/rasterize.jl:55-61): customer points × diamond polygons
+    synthesized from part keys, pure-Catalyst plan (cell-bucketed
+    candidates + crossing-parity aggregate, no Python UDF)."""
+    from geostatstransforms_jl_spark.core.grid import GridMeta
+    from geostatstransforms_jl_spark.operators.spatialjoin import pip_join
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pk = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.col("p_partkey").cast("long").alias("geom_id"),
+        ((F.col("p_partkey") * 7 % 97).cast("double") + F.lit(0.5)).alias("cx"),
+        ((F.col("p_partkey") * 11 % 89).cast("double") + F.lit(0.5)).alias("cy"),
+        (F.lit(2.0) + (F.col("p_partkey") % 7) * F.lit(1.3)).alias("dx"),
+        (F.lit(2.0) + (F.col("p_partkey") % 5) * F.lit(1.7)).alias("dy"),
+    )
+
+    def v(xe, ye):
+        return F.struct(xe.alias("x"), ye.alias("y"))
+
+    cx, cy, dx, dy = F.col("cx"), F.col("cy"), F.col("dx"), F.col("dy")
+    geoms = pk.select(
+        "geom_id",
+        F.array(
+            F.array(
+                v(cx + dx, cy), v(cx, cy + dy), v(cx - dx, cy), v(cx, cy - dy)
+            )
+        ).alias("rings"),
+    )
+    pts = _customer_points(spark, sf_dir)
+    meta = GridMeta(16, 16, 0.0, 0.0, 97.0 / 16, 89.0 / 16)
+    out = pip_join(pts, geoms, meta)
+    return out.select(F.col("row_id").alias("cust"), F.col("geom_id").alias("geom"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -715,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn3d_transfer": q_knn3d_transfer,
         "gradient_3d": q_gradient_3d,
         "units_convert": q_units_convert,
+        "pip_spatial_join": q_pip_spatial_join,
     }
 
 
@@ -1221,6 +1258,37 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(2.5 * y + -3.0, 6) AS y,
                    ROUND(1.0 * bal + 273.15, 6) AS bal
             FROM p
+        """,
+        # even-odd ray casting with the identical crossing expression the
+        # engine evaluates (operators/spatialjoin.py), so boundary decisions
+        # agree bit-for-bit
+        "pip_spatial_join": f"""
+            WITH pk AS (
+              SELECT p_partkey::BIGINT AS g,
+                     ((p_partkey * 7) % 97)::DOUBLE + 0.5 AS cx,
+                     ((p_partkey * 11) % 89)::DOUBLE + 0.5 AS cy,
+                     2.0 + (p_partkey % 7) * 1.3 AS dx,
+                     2.0 + (p_partkey % 5) * 1.7 AS dy
+              FROM part WHERE p_partkey % 40 = 0
+            ),
+            v AS (
+              SELECT g, 0 AS k, cx + dx AS x, cy AS y FROM pk UNION ALL
+              SELECT g, 1 AS k, cx AS x, cy + dy AS y FROM pk UNION ALL
+              SELECT g, 2 AS k, cx - dx AS x, cy AS y FROM pk UNION ALL
+              SELECT g, 3 AS k, cx AS x, cy - dy AS y FROM pk
+            ),
+            e AS (
+              SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y
+              FROM v a JOIN v b ON a.g = b.g AND b.k = (a.k + 1) % 4
+              WHERE a.y <> b.y
+            ),
+            p AS ({_CUST_PTS})
+            SELECT p.row_id AS cust, e.g AS geom
+            FROM p JOIN e
+              ON ((e.ay > p.y) <> (e.b_y > p.y))
+             AND p.x < e.ax + (p.y - e.ay) * (e.bx - e.ax) / (e.b_y - e.ay)
+            GROUP BY 1, 2
+            HAVING COUNT(*) % 2 = 1
         """,
     }
 

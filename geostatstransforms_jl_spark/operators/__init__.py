@@ -11,6 +11,7 @@ from .potrace import Potrace
 from .detrend import Detrend
 from .seqfilters import ModeFilter, Quenching, MaxPosterior
 from .tabletransforms import AbsoluteUnits, Filter, OneHot, Only, Reject, Select, StdFeats
+from .spatialjoin import pip_join
 
 __all__ = [
     "UniqueCoords",
@@ -37,4 +38,5 @@ __all__ = [
     "OneHot",
     "StdFeats",
     "AbsoluteUnits",
+    "pip_join",
 ]

@@ -1,0 +1,115 @@
+"""pip_join: even-odd containment join vs an independent brute force.
+
+The numpy oracle re-derives ray casting from the textbook rule (loop over
+edges, half-open vertex convention) — no code shared with the operator's
+Catalyst expressions.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.core.grid import GridMeta
+from geostatstransforms_jl_spark.operators.spatialjoin import pip_join
+
+
+def brute_inside(px, py, rings):
+    cross = 0
+    for ring in rings:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+            if (ay > py) != (by > py):
+                if px < ax + (py - ay) * (bx - ax) / (by - ay):
+                    cross += 1
+    return cross % 2 == 1
+
+
+def rings_df(spark, polys):
+    """polys: {geom_id: [ring, ...]} with ring = [(x, y), ...]."""
+    rows = [
+        (g, [[{"x": float(x), "y": float(y)} for (x, y) in ring] for ring in rings])
+        for g, rings in polys.items()
+    ]
+    return spark.createDataFrame(
+        rows, "geom_id long, rings array<array<struct<x double, y double>>>"
+    )
+
+
+def run_pair(spark, pts, polys, meta, **kw):
+    pdf = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "row_id long, x double, y double",
+    )
+    got = {
+        (r.row_id, r.geom_id)
+        for r in pip_join(pdf, rings_df(spark, polys), meta, **kw).collect()
+    }
+    want = {
+        (i, g)
+        for i, (x, y) in enumerate(pts)
+        for g, rings in polys.items()
+        if brute_inside(x, y, rings)
+    }
+    return got, want
+
+
+def test_pip_random_vs_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    pts = [tuple(p) for p in rng.uniform(0, 100, (400, 2))]
+    polys = {}
+    for g in range(25):
+        cx, cy = rng.uniform(10, 90, 2)
+        k = int(rng.integers(3, 8))
+        angs = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(3, 12, k)
+        polys[g] = [
+            [(cx + r * np.cos(a), cy + r * np.sin(a)) for a, r in zip(angs, rad)]
+        ]
+    meta = GridMeta(20, 20, 0.0, 0.0, 5.0, 5.0)
+    got, want = run_pair(spark, pts, polys, meta)
+    assert got == want
+    assert len(want) > 20  # fixture actually exercises containment
+
+
+def test_pip_hole_even_odd(spark):
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    hole = [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)]
+    pts = [(5.0, 5.0), (1.5, 5.0), (11.0, 5.0), (4.2, 6.1)]
+    polys = {0: [outer, hole]}
+    meta = GridMeta(4, 4, -1.0, -1.0, 3.5, 3.5)
+    got, want = run_pair(spark, pts, polys, meta)
+    # inside hole -> outside; annulus -> inside
+    assert want == {(1, 0)}
+    assert got == want
+
+
+def test_pip_unbroadcast_path_matches(spark):
+    rng = np.random.default_rng(11)
+    pts = [tuple(p) for p in rng.uniform(0, 50, (150, 2))]
+    polys = {
+        g: [[(cx - 4.0, cy - 3.0), (cx + 5.0, cy - 1.0), (cx, cy + 4.5)]]
+        for g, (cx, cy) in enumerate(rng.uniform(5, 45, (10, 2)))
+    }
+    meta = GridMeta(10, 10, 0.0, 0.0, 5.0, 5.0)
+    a, want = run_pair(spark, pts, polys, meta, broadcast_geoms=True)
+    b, _ = run_pair(spark, pts, polys, meta, broadcast_geoms=False)
+    assert a == want and b == want
+
+
+def test_pip_clips_to_grid(spark):
+    # polygon partially outside the grid: only in-grid cells are candidates,
+    # so in-grid points still match; out-of-grid points are dropped
+    polys = {0: [[(-5.0, -5.0), (6.0, -5.0), (6.0, 6.0), (-5.0, 6.0)]]}
+    pts = [(2.0, 2.0), (-2.0, -2.0)]
+    meta = GridMeta(4, 4, 0.0, 0.0, 2.0, 2.0)
+    pdf = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "row_id long, x double, y double",
+    )
+    got = {
+        (r.row_id, r.geom_id)
+        for r in pip_join(pdf, rings_df(spark, polys), meta).collect()
+    }
+    assert got == {(0, 0)}
