@@ -1,0 +1,97 @@
+"""Z-order (Morton) hierarchical cell keys — the S2/quadkey-style encoding
+of the engine's cell index (core/cells.py is the axis-major packing used by
+the kNN/radius joins; this module is the *interleaved* layout whose one
+integer order is space-filling).
+
+Why a second layout: Z-order's property is that sorting by the key is a
+spatial clustering — `repartitionByRange` + `sortWithinPartitions` on it
+co-locates spatially-near rows into the same files/partitions, which is what
+makes min/max-pruned scans and cell-local joins cheap at 100 TB (the same
+reason table formats cluster by Z-order).  The axis-major key can't do that:
+its order sweeps whole x-slabs.  Parent/child is a single shift:
+``parent = key >> (d·levels)``.
+
+Everything is built-in bitwise column expressions (shiftleft/AND/OR via the
+classic magic-number bit spreading) — whole-stage codegen, no Python in the
+hot path.  The reference has no distributed analogue; its KD-tree search
+(P1, SURVEY.md §2.2) is the in-process counterpart of what cell keys make
+join-able.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.cells import CellGrid
+
+# magic-number spreading: insert a zero bit between each of the low 31 bits
+_SPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def spread_bits(ix: Column) -> Column:
+    """Spread the low 31 bits of a long into even bit positions."""
+    v = ix
+    for sh, mask in _SPREAD:
+        v = (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_encode(ix: Column, iy: Column) -> Column:
+    """Interleave two ≤31-bit axis indices: x in even bits, y in odd."""
+    return spread_bits(ix).bitwiseOR(F.shiftleft(spread_bits(iy), 1))
+
+
+def morton_cell(grid: CellGrid, x: Column, y: Column) -> Column:
+    """Z-order key of the grid cell containing (x, y) — same cell indices
+    as the join path's axis-major key (CellGrid.idx), different packing."""
+    assert grid.ndim == 2, "morton_cell is 2-D; use CellGrid.pack for n-D"
+    return morton_encode(grid.idx(0, x), grid.idx(1, y))
+
+
+def morton_parent(key: Column, levels_up: int) -> Column:
+    """Ancestor `levels_up` levels coarser — one unsigned shift."""
+    return F.shiftrightunsigned(key, 2 * levels_up)
+
+
+def _unspread(v: "int") -> int:
+    v &= 0x5555555555555555
+    for sh, mask in ((1, 0x3333333333333333), (2, 0x0F0F0F0F0F0F0F0F),
+                     (4, 0x00FF00FF00FF00FF), (8, 0x0000FFFF0000FFFF),
+                     (16, 0x00000000FFFFFFFF)):
+        v = (v | (v >> sh)) & mask
+    return v
+
+
+def morton_decode_py(key: int) -> tuple:
+    """Driver-side inverse (diagnostics/tests): key → (ix, iy)."""
+    return _unspread(key), _unspread(key >> 1)
+
+
+def zorder_repartition(
+    df: DataFrame,
+    grid: CellGrid,
+    coords: Sequence[str] = ("x", "y"),
+    num_partitions: Optional[int] = None,
+    key_col: Optional[str] = None,
+) -> DataFrame:
+    """Spatially cluster `df`: range-partition + sort by the Z-order key so
+    each output partition holds a contiguous space-filling-curve segment —
+    the write-side layout that gives parquet row-group min/max pruning and
+    cell-local joins their locality at scale.  Keeps the key as `key_col`
+    when given (so writers can also partition files by a parent prefix),
+    otherwise drops it."""
+    x, y = coords
+    kc = key_col or "_zkey"
+    out = df.withColumn(kc, morton_cell(grid, F.col(x), F.col(y)))
+    n = num_partitions or out.rdd.getNumPartitions()
+    out = out.repartitionByRange(n, kc).sortWithinPartitions(kc)
+    return out if key_col else out.drop(kc)

@@ -1,0 +1,78 @@
+"""Z-order cell keys: encode/decode roundtrip vs an independent python
+interleaver, parent consistency, and the clustering property of
+zorder_repartition."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.core.cells import CellGrid
+from geostatstransforms_jl_spark.functions.geocell import (
+    morton_cell,
+    morton_decode_py,
+    morton_encode,
+    morton_parent,
+    zorder_repartition,
+)
+
+
+def py_morton(ix: int, iy: int) -> int:
+    # independent bit-by-bit interleave (no magic numbers)
+    out = 0
+    for b in range(31):
+        out |= ((ix >> b) & 1) << (2 * b)
+        out |= ((iy >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_morton_roundtrip_vs_reference(spark):
+    rng = np.random.default_rng(3)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 2**31 - 1, (200, 2))]
+    df = spark.createDataFrame(pairs, "ix long, iy long").withColumn(
+        "key", morton_encode(F.col("ix"), F.col("iy"))
+    )
+    for r in df.collect():
+        assert r.key == py_morton(r.ix, r.iy)
+        assert morton_decode_py(r.key) == (r.ix, r.iy)
+
+
+def test_morton_parent_matches_halved_indices(spark):
+    rng = np.random.default_rng(4)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 2**20, (100, 2))]
+    df = spark.createDataFrame(pairs, "ix long, iy long").select(
+        "ix", "iy",
+        morton_parent(morton_encode(F.col("ix"), F.col("iy")), 3).alias("p"),
+        morton_encode(
+            F.shiftrightunsigned("ix", 3), F.shiftrightunsigned("iy", 3)
+        ).alias("q"),
+    )
+    assert all(r.p == r.q for r in df.collect())
+
+
+def test_morton_cell_same_indices_as_join_path(spark):
+    grid = CellGrid(((0.0, 97.0), (0.0, 89.0)), res=10)
+    rng = np.random.default_rng(5)
+    pts = [(float(a), float(b)) for a, b in rng.uniform(0, 90, (100, 2))]
+    df = spark.createDataFrame(pts, "x double, y double").select(
+        grid.idx(0, F.col("x")).alias("ix"),
+        grid.idx(1, F.col("y")).alias("iy"),
+        morton_cell(grid, F.col("x"), F.col("y")).alias("key"),
+    )
+    for r in df.collect():
+        assert morton_decode_py(r.key) == (r.ix, r.iy)
+
+
+def test_zorder_repartition_clusters(spark):
+    grid = CellGrid(((0.0, 100.0), (0.0, 100.0)), res=8)
+    rng = np.random.default_rng(6)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (2000, 2)))]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double")
+    out = zorder_repartition(df, grid, num_partitions=8, key_col="zk")
+    parts = out.select(F.spark_partition_id().alias("p"), "zk").collect()
+    ranges = {}
+    for r in parts:
+        lo, hi = ranges.get(r.p, (r.zk, r.zk))
+        ranges[r.p] = (min(lo, r.zk), max(hi, r.zk))
+    # range partitions must not overlap: sort by lo, each hi <= next lo
+    ordered = sorted(ranges.values())
+    assert all(a[1] <= b[0] for a, b in zip(ordered[:-1], ordered[1:]))
+    assert len(ranges) > 1
