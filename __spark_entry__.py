@@ -701,6 +701,30 @@ def q_pip_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("row_id").alias("cust"), F.col("geom_id").alias("geom"))
 
 
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) spatial clustering keys — the engine's S2/quadkey
+    analogue (functions/geocell.py): per-point interleaved cell key at res 5
+    over the customer extent, rolled up to the 2-levels-coarser parent with
+    per-parent count and key range.  The parent/child relation is one shift;
+    sorting by zmin walks the space-filling curve.  All Catalyst bit
+    expressions (shiftleft/AND/OR magic-number spreading), no Python."""
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.functions.geocell import morton_cell, morton_parent
+
+    pts = _customer_points(spark, sf_dir)
+    grid = CellGrid.box2d(0.0, 0.0, 97.0, 89.0, 5)
+    keyed = pts.withColumn("zkey", morton_cell(grid, F.col("x"), F.col("y")))
+    return (
+        keyed.withColumn("zparent", morton_parent(F.col("zkey"), 2))
+        .groupBy("zparent")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -752,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gradient_3d": q_gradient_3d,
         "units_convert": q_units_convert,
         "pip_spatial_join": q_pip_spatial_join,
+        "zorder_cells": q_zorder_cells,
     }
 
 
@@ -1289,6 +1314,36 @@ def _oracle_sql_base() -> dict[str, str]:
              AND p.x < e.ax + (p.y - e.ay) * (e.bx - e.ax) / (e.b_y - e.ay)
             GROUP BY 1, 2
             HAVING COUNT(*) % 2 = 1
+        """,
+        # Z-order key: identical magic-number bit spreading as
+        # functions/geocell.py:_SPREAD, masks in decimal (0x0000FFFF0000FFFF,
+        # 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F, 0x3333..., 0x5555...);
+        # grid res 5 over (0,97)×(0,89) → edges 97/32 and 89/32 (both exact
+        # binary doubles, so floor() agrees bit-for-bit with Spark).
+        "zorder_cells": f"""
+            WITH p AS ({_CUST_PTS}),
+            i AS (
+              SELECT GREATEST(0, LEAST(31, CAST(floor(x / 3.03125) AS BIGINT))) AS vx,
+                     GREATEST(0, LEAST(31, CAST(floor(y / 2.78125) AS BIGINT))) AS vy
+              FROM p
+            ),
+            s1 AS (SELECT (vx | (vx << 16)) & 281470681808895 AS vx,
+                          (vy | (vy << 16)) & 281470681808895 AS vy FROM i),
+            s2 AS (SELECT (vx | (vx << 8)) & 71777214294589695 AS vx,
+                          (vy | (vy << 8)) & 71777214294589695 AS vy FROM s1),
+            s3 AS (SELECT (vx | (vx << 4)) & 1085102592571150095 AS vx,
+                          (vy | (vy << 4)) & 1085102592571150095 AS vy FROM s2),
+            s4 AS (SELECT (vx | (vx << 2)) & 3689348814741910323 AS vx,
+                          (vy | (vy << 2)) & 3689348814741910323 AS vy FROM s3),
+            s5 AS (SELECT (vx | (vx << 1)) & 6148914691236517205 AS vx,
+                          (vy | (vy << 1)) & 6148914691236517205 AS vy FROM s4),
+            k AS (SELECT (vx | (vy << 1)) AS zkey FROM s5)
+            SELECT zkey >> 4 AS zparent,
+                   COUNT(*) AS n_pts,
+                   MIN(zkey) AS zmin,
+                   MAX(zkey) AS zmax
+            FROM k
+            GROUP BY 1
         """,
     }
 

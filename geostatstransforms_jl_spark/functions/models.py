@@ -133,10 +133,10 @@ def kriging_reduce(
     convention) — without the within-block term the point formula applied to
     block-averaged γ̄₀ overstates the variance.
 
-    Null handling: the mean renormalizes λ over non-null samples; the
-    reported ``<c>_var`` is the variance of the FULL-neighbor-set estimator
-    (documented contract — the reduced-system variance would need a
-    re-solve per null pattern per column).
+    Null handling: a column with partial nulls re-solves the OK system on
+    the reduced (non-null) neighbor set, so the reported mean and ``<c>_var``
+    describe the SAME estimator; fewer than ``min_neighbors`` non-null
+    samples yields NULL for that column.
     """
     gamma = model.gamma()
     tx, ty = t_coords
@@ -202,12 +202,29 @@ def kriging_reduce(
                 if prob:
                     row[f"{c}_var"] = var
             else:
-                # renormalize weights over non-null samples
-                lm = lam[m]
-                ssum = lm.sum()
-                row[c] = float((lm / ssum) @ z[m]) if abs(ssum) > 1e-15 else None
+                # partial nulls in this column: re-solve the OK system on the
+                # reduced neighbor set so mean AND variance describe the same
+                # estimator (weight renormalization would keep the full-set
+                # variance, a mismatch)
+                km = int(m.sum())
+                if km < min_neighbors:
+                    row[c] = None
+                    if prob:
+                        row[f"{c}_var"] = None
+                    continue
+                Am = np.empty((km + 1, km + 1))
+                Am[:km, :km] = gamma(D[np.ix_(m, m)])
+                Am[km, :km] = 1.0
+                Am[:km, km] = 1.0
+                Am[km, km] = 0.0
+                bm = np.concatenate([g0[m], [1.0]])
+                try:
+                    wm = np.linalg.solve(Am, bm)
+                except np.linalg.LinAlgError:
+                    wm = np.linalg.lstsq(Am, bm, rcond=None)[0]
+                row[c] = float(wm[:km] @ z[m])
                 if prob:
-                    row[f"{c}_var"] = var if abs(ssum) > 1e-15 else None
+                    row[f"{c}_var"] = float(wm[:km] @ g0[m] + wm[km] - gamma_bb)
         return pd.DataFrame([row])
 
     return pairs.select(*cols).groupBy(tid).applyInPandas(solve, schema)

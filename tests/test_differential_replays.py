@@ -393,3 +393,53 @@ def test_modefilter_3d_replay(spark):
         top = max(counts.values())
         grid[c] = min(l for l, cn in counts.items() if cn == top)
     assert got == grid
+
+
+def test_kriging_partial_null_reduced_system(spark):
+    """A value column with partial nulls must re-solve OK on the non-null
+    neighbor subset: mean AND variance equal an independent numpy solve of
+    the reduced system (NOT renormalized full-set weights / full-set var)."""
+    from geostatstransforms_jl_spark.functions.knn import knn_join
+    from geostatstransforms_jl_spark.functions.models import Kriging, kriging_reduce
+
+    samples = [
+        (0, 10.0, 10.0, 1.0),
+        (1, 30.0, 12.0, None),  # null value at a real location
+        (2, 18.0, 28.0, 2.0),
+        (3, 5.0, 30.0, 4.0),
+        (4, 28.0, 27.0, 0.5),
+    ]
+    sdf = spark.createDataFrame(samples, "row_id long, x double, y double, v double")
+    tdf = spark.createDataFrame([(100, 15.0, 15.0)], "row_id long, x double, y double")
+    rng_ = 25.0
+    model = Kriging("gaussian", range_=rng_)
+
+    pairs = knn_join(tdf, sdf, k=5, t_id="row_id", s_id="row_id", s_carry=("v",))
+    out = kriging_reduce(pairs, model, ["v"], "t_row_id", prob=True).first()
+
+    # independent reduced-system solve over the 4 non-null samples
+    keep = [s for s in samples if s[3] is not None]
+    X = np.array([[s[1], s[2]] for s in keep])
+    z = np.array([s[3] for s in keep])
+
+    def gamma(h):
+        return 1.0 - np.exp(-3.0 * (np.asarray(h, float) / rng_) ** 2)
+
+    k = len(X)
+    H = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    A = np.empty((k + 1, k + 1))
+    A[:k, :k] = gamma(H)
+    A[k, :k] = A[:k, k] = 1.0
+    A[k, k] = 0.0
+    h0 = np.sqrt(((X - [15.0, 15.0]) ** 2).sum(-1))
+    b = np.concatenate([gamma(h0), [1.0]])
+    w = np.linalg.solve(A, b)
+    lam, nu = w[:k], w[k]
+    assert out.v == pytest.approx(float(lam @ z), abs=1e-9)
+    assert out.v_var == pytest.approx(float(lam @ gamma(h0) + nu), abs=1e-9)
+
+    # min_neighbors guard: 4 non-null < 5 required -> NULL for that column
+    strict = kriging_reduce(
+        pairs, model, ["v"], "t_row_id", prob=True, min_neighbors=5
+    ).first()
+    assert strict.v is None and strict.v_var is None

@@ -76,3 +76,56 @@ def test_zorder_repartition_clusters(spark):
     ordered = sorted(ranges.values())
     assert all(a[1] <= b[0] for a, b in zip(ordered[:-1], ordered[1:]))
     assert len(ranges) > 1
+
+
+def test_zorder_write_prunes_scan(spark, tmp_path):
+    """The point of the layout at 100 TB: a z-ordered parquet write gives
+    per-file zkey min/max footprints that a small spatial window overlaps in
+    only a few files, and Spark pushes the zkey range predicate into the
+    scan.  Verified with DuckDB's parquet_metadata (independent reader) on
+    a z-ordered vs a hash-shuffled write of the same rows."""
+    import duckdb
+
+    grid = CellGrid(((0.0, 100.0), (0.0, 100.0)), res=8)
+    rng = np.random.default_rng(7)
+    pts = [
+        (i, float(x), float(y), float(x + y))
+        for i, (x, y) in enumerate(rng.uniform(0, 100, (20000, 2)))
+    ]
+    df = spark.createDataFrame(pts, "row_id long, x double, y double, v double")
+    zdir, hdir = str(tmp_path / "z"), str(tmp_path / "h")
+    zorder_repartition(df, grid, num_partitions=16, key_col="zkey").write.parquet(zdir)
+    df.withColumn("zkey", morton_cell(grid, F.col("x"), F.col("y"))).repartition(
+        16, "row_id"
+    ).write.parquet(hdir)
+
+    def file_ranges(d):
+        rows = duckdb.sql(
+            f"""SELECT file_name,
+                       MIN(stats_min_value::BIGINT) lo,
+                       MAX(stats_max_value::BIGINT) hi
+                FROM parquet_metadata('{d}/*.parquet')
+                WHERE path_in_schema = 'zkey' GROUP BY 1"""
+        ).fetchall()
+        return [(r[1], r[2]) for r in rows]
+
+    zr, hr = file_ranges(zdir), file_ranges(hdir)
+    assert len(zr) >= 8 and len(hr) >= 8
+    # a window = the middle 1/16th of the curve
+    all_lo = min(lo for lo, _ in zr)
+    all_hi = max(hi for _, hi in zr)
+    w_lo = all_lo + (all_hi - all_lo) * 8 // 16
+    w_hi = all_lo + (all_hi - all_lo) * 9 // 16
+    z_touch = sum(1 for lo, hi in zr if not (hi < w_lo or lo > w_hi))
+    h_touch = sum(1 for lo, hi in hr if not (hi < w_lo or lo > w_hi))
+    # hash layout: every file spans ~the whole key space; z layout: few files
+    assert h_touch == len(hr)
+    assert z_touch <= max(2, len(zr) // 4)
+
+    # and Spark pushes the range predicate into the parquet scan
+    plan = (
+        spark.read.parquet(zdir)
+        .filter((F.col("zkey") >= int(w_lo)) & (F.col("zkey") <= int(w_hi)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(zkey" in plan
