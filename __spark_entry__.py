@@ -725,6 +725,23 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ball-cover radius join (functions/knn.py:radius_join): every
+    customer-point pair within euclidean distance 2.5, excluding self.
+    Candidate generation is a kRing cell equi-join sized so the rings cover
+    the ball by construction; the oracle is DuckDB's brute-force cross
+    join — the engine must produce exactly the same pair set."""
+    from geostatstransforms_jl_spark.functions.knn import radius_join
+
+    pts = _customer_points(spark, sf_dir)
+    out = radius_join(pts, pts.select("*"), radius=2.5, exclude_same_id=True)
+    return out.select(
+        F.col("t_row_id").alias("t"),
+        F.col("s_row_id").alias("s"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -777,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "units_convert": q_units_convert,
         "pip_spatial_join": q_pip_spatial_join,
         "zorder_cells": q_zorder_cells,
+        "radius_pairs": q_radius_pairs,
     }
 
 
@@ -1344,6 +1362,19 @@ def _oracle_sql_base() -> dict[str, str]:
                    MAX(zkey) AS zmax
             FROM k
             GROUP BY 1
+        """,
+        # brute-force ball query: same double arithmetic ((dx*dx)+(dy*dy),
+        # then sqrt) as functions/knn.py:_dist_expr, so dist rounds equal
+        "radius_pairs": f"""
+            WITH p AS ({_CUST_PTS})
+            SELECT a.row_id AS t,
+                   b.row_id AS s,
+                   ROUND(sqrt((a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+            FROM p a JOIN p b
+              ON a.row_id <> b.row_id
+             AND sqrt((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y)) <= 2.5
         """,
     }
 

@@ -245,7 +245,10 @@ def knn2m(cpus: str = None, n_images: int = 2_000_000, reps: int = 2) -> dict:
         t0 = time.perf_counter()
         nn = knn_join(pts, pts, k=1, exclude_same_id=True,
                       broadcast_threshold=0, salt_threshold=20_000)
-        cs = nn.agg(F.sum(F.xxhash64("t_row_id", "s_row_id"))).first()[0]
+        # decimal(38) sum: 2M full-range longs overflow BIGINT under ANSI mode
+        cs = nn.agg(
+            F.sum(F.xxhash64("t_row_id", "s_row_id").cast("decimal(38,0)"))
+        ).first()[0]
         sec = round(time.perf_counter() - t0, 2)
         runs.append(sec)
         if best is None or sec < best:
