@@ -43,8 +43,13 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
     # input size for the throughput metric: rows feeding the spatial-join stage
     n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # warm the JVM + parquet footers once so per-query timings measure the plan
+    # warm the JVM + parquet footers + Arrow Python workers once so per-query
+    # timings measure the plan, not cold-start (first mapInPandas pays one
+    # daemon spin-up per core: ~4-5 s at local[32])
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     per_q = {}
     t_all = time.perf_counter()
