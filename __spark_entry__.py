@@ -742,6 +742,31 @@ def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_radius3d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D ball-cover radius join: the same exact-pair contract as
+    `radius_pairs` with a 3-coordinate cell grid (n-D ring counts cover the
+    ball by construction, functions/knn.py:radius_join).  Oracle: DuckDB
+    brute-force 3-D cross join."""
+    from geostatstransforms_jl_spark.functions.knn import radius_join
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("row_id"),
+        (F.col("c_custkey") % 97).cast("double").alias("x"),
+        (F.col("c_custkey") % 89).cast("double").alias("y"),
+        (F.col("c_custkey") % 17).cast("double").alias("z"),
+    )
+    out = radius_join(
+        pts, pts.select("*"), radius=4.0,
+        t_coords=("x", "y", "z"), s_coords=("x", "y", "z"),
+        exclude_same_id=True,
+    )
+    return out.select(
+        F.col("t_row_id").alias("t"),
+        F.col("s_row_id").alias("s"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -795,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_spatial_join": q_pip_spatial_join,
         "zorder_cells": q_zorder_cells,
         "radius_pairs": q_radius_pairs,
+        "radius3d_pairs": q_radius3d_pairs,
     }
 
 
@@ -1375,6 +1401,27 @@ def _oracle_sql_base() -> dict[str, str]:
               ON a.row_id <> b.row_id
              AND sqrt((a.x - b.x) * (a.x - b.x)
                     + (a.y - b.y) * (a.y - b.y)) <= 2.5
+        """,
+        # 3-D ball query; same left-associated sum as _dist_expr so the
+        # doubles (and their ROUND) agree bit-for-bit
+        "radius3d_pairs": """
+            WITH p AS (
+              SELECT c_custkey::BIGINT AS row_id,
+                     (c_custkey % 97)::DOUBLE AS x,
+                     (c_custkey % 89)::DOUBLE AS y,
+                     (c_custkey % 17)::DOUBLE AS z
+              FROM customer
+            )
+            SELECT a.row_id AS t,
+                   b.row_id AS s,
+                   ROUND(sqrt((a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y)
+                            + (a.z - b.z) * (a.z - b.z)), 6) AS dist
+            FROM p a JOIN p b
+              ON a.row_id <> b.row_id
+             AND sqrt((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y)
+                    + (a.z - b.z) * (a.z - b.z)) <= 4.0
         """,
     }
 
