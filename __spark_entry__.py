@@ -767,6 +767,26 @@ def q_radius3d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kball_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-in-ball search (the reference's KBallSearch,
+    src/interpneighbors.jl:47-87 `neighborhood` option): up to k=3 nearest
+    customers within radius 3.0 of each customer, self excluded — kNN rank
+    AND a hard distance cap together.  Oracle: DuckDB ROW_NUMBER over the
+    distance-filtered cross join with the engine's (dist, s_id) tie-break."""
+    from geostatstransforms_jl_spark.functions.knn import knn_join
+
+    pts = _customer_points(spark, sf_dir)
+    out = knn_join(
+        pts, pts.select("*"), k=3, max_radius=3.0,
+        exclude_same_id=True, broadcast_threshold=0,
+    )
+    return out.select(
+        F.col("t_row_id").alias("t"),
+        F.col("s_row_id").alias("s"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -821,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cells": q_zorder_cells,
         "radius_pairs": q_radius_pairs,
         "radius3d_pairs": q_radius3d_pairs,
+        "kball_neighbors": q_kball_neighbors,
     }
 
 
@@ -1422,6 +1443,26 @@ def _oracle_sql_base() -> dict[str, str]:
              AND sqrt((a.x - b.x) * (a.x - b.x)
                     + (a.y - b.y) * (a.y - b.y)
                     + (a.z - b.z) * (a.z - b.z)) <= 4.0
+        """,
+        # k-in-ball: rank by (dist, s_id) exactly like the engine's
+        # min_by/row_number tie-break, keep rank<=3 within radius 3.0
+        "kball_neighbors": f"""
+            WITH p AS ({_CUST_PTS}),
+            d AS (
+              SELECT a.row_id AS t, b.row_id AS s,
+                     sqrt((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y)) AS rawd
+              FROM p a JOIN p b
+                ON a.row_id <> b.row_id
+               AND sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) <= 3.0
+            ),
+            r AS (
+              SELECT t, s, rawd,
+                     ROW_NUMBER() OVER (PARTITION BY t ORDER BY rawd, s) AS rk
+              FROM d
+            )
+            SELECT t, s, ROUND(rawd, 6) AS dist FROM r WHERE rk <= 3
         """,
     }
 
