@@ -254,7 +254,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.textops import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=1000)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -262,7 +262,9 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.textops import minhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup(docs, threshold=0.7).select("doc_id", "lang", "source")
+    return minhash_dedup(docs, threshold=0.7, max_bucket_size=1000).select(
+        "doc_id", "lang", "source"
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,7 +275,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holds (bands = max_hamming + 1) AND buckets stay wide enough (2^16)
     # that the band self-join doesn't densify at scale.  Larger radii force
     # proportionally narrower buckets — supported but not the default.
-    return simhash_pairs(simhash_64(docs), max_hamming=3).select("a", "b", "hamming")
+    return simhash_pairs(
+        simhash_64(docs), max_hamming=3, max_bucket_size=1000
+    ).select("a", "b", "hamming")
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,6 +62,9 @@ def grid_adjacency(*index_arrays: np.ndarray) -> np.ndarray:
     the reference's `adjacencymatrix` is likewise dimension-generic."""
     total = np.zeros((len(index_arrays[0]), len(index_arrays[0])), dtype=np.int64)
     for a in index_arrays:
+        # signed cast first: unsigned parquet indices would wrap under np.abs
+        # of the elementwise difference and produce an empty adjacency
+        a = np.asarray(a, dtype=np.int64)
         total += np.abs(a[:, None] - a[None, :])
     return total == 1
 

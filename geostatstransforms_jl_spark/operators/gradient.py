@@ -32,14 +32,51 @@ from pyspark.sql import DataFrame
 from ..core.geotable import GeoTable, GridDomain
 
 
-def sobel_tile(img: np.ndarray) -> tuple:
+# Separable length-3 gradient kernels, ImageFiltering normalization:
+# (derivative factor, cross-axis smoothing factor).  The reference accepts
+# any `KernelFactors.*` pair via its `kern` keyword (src/gradient.jl:24);
+# these are the ones its docs name.  "central" is pure central difference
+# (identity smoothing) for callers that want the unsmoothed derivative.
+KERNELS = {
+    "sobel": ((-0.5, 0.0, 0.5), (0.25, 0.5, 0.25)),
+    "prewitt": ((-0.5, 0.0, 0.5), (1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0)),
+    "scharr": ((-0.5, 0.0, 0.5), (3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0)),
+    "ando3": ((-0.5, 0.0, 0.5), (0.112737, 0.774526, 0.112737)),
+    "central": ((-0.5, 0.0, 0.5), (0.0, 1.0, 0.0)),
+}
+
+
+def _resolve_kern(kern):
+    """Accept a registry name or an explicit (deriv, smooth) pair of
+    length-3 factor tuples."""
+    if isinstance(kern, str):
+        try:
+            return KERNELS[kern]
+        except KeyError:
+            raise ValueError(
+                f"unknown gradient kernel {kern!r}; choose from {sorted(KERNELS)} "
+                "or pass an explicit (deriv, smooth) pair of length-3 tuples"
+            ) from None
+    deriv, smooth = kern
+    if len(deriv) != 3 or len(smooth) != 3:
+        raise ValueError("custom gradient kernel factors must have length 3")
+    return tuple(float(v) for v in deriv), tuple(float(v) for v in smooth)
+
+
+def sobel_tile(img: np.ndarray, kern="sobel") -> tuple:
     """img[i, j] → (d/di, d/dj), replicate border, ImageFiltering scaling."""
-    p = np.pad(img, 1, mode="edge")
-    d0 = (p[2:, :] - p[:-2, :]) / 2.0
-    g0 = (d0[:, :-2] + 2.0 * d0[:, 1:-1] + d0[:, 2:]) / 4.0
-    d1 = (p[:, 2:] - p[:, :-2]) / 2.0
-    g1 = (d1[:-2, :] + 2.0 * d1[1:-1, :] + d1[2:, :]) / 4.0
-    return g0, g1
+    dk, sk = _resolve_kern(kern)
+    if (dk, sk) == KERNELS["sobel"]:
+        # keep the original evaluation order bit-exact: the literal oracles
+        # pin these values, and a reassociated sum can flip a result across
+        # the comparator's round-to-6-decimals boundary
+        p = np.pad(img, 1, mode="edge")
+        d0 = (p[2:, :] - p[:-2, :]) / 2.0
+        g0 = (d0[:, :-2] + 2.0 * d0[:, 1:-1] + d0[:, 2:]) / 4.0
+        d1 = (p[:, 2:] - p[:, :-2]) / 2.0
+        g1 = (d1[:-2, :] + 2.0 * d1[1:-1, :] + d1[2:, :]) / 4.0
+        return g0, g1
+    return gradient_axis(img, 0, (dk, sk)), gradient_axis(img, 1, (dk, sk))
 
 
 def _conv1(a: np.ndarray, axis: int, kernel) -> np.ndarray:
@@ -56,17 +93,21 @@ def _conv1(a: np.ndarray, axis: int, kernel) -> np.ndarray:
     return out
 
 
-def sobel_axis(img: np.ndarray, axis: int) -> np.ndarray:
-    """n-D Sobel derivative along `axis`, replicate border: central
-    difference [-1, 0, 1]/2 on `axis` and [1, 2, 1]/4 smoothing on every
-    other axis — the separable form ImageFiltering's `KernelFactors.sobel`
-    takes in any dimension (reference `imgradients` is dimension-generic,
+def gradient_axis(img: np.ndarray, axis: int, kern="sobel") -> np.ndarray:
+    """n-D derivative along `axis`, replicate border: the kernel's
+    derivative factor on `axis` and its smoothing factor on every other
+    axis — the separable form ImageFiltering's `KernelFactors.*` take in
+    any dimension (reference `imgradients` is dimension-generic,
     src/gradient.jl:56)."""
+    deriv, smooth = _resolve_kern(kern)
     out = np.pad(img, 1, mode="edge")
     for a in range(img.ndim):
-        k = (-0.5, 0.0, 0.5) if a == axis else (0.25, 0.5, 0.25)
-        out = _conv1(out, a, k)
+        out = _conv1(out, a, deriv if a == axis else smooth)
     return out
+
+
+def sobel_axis(img: np.ndarray, axis: int) -> np.ndarray:
+    return gradient_axis(img, axis, "sobel")
 
 
 def gradient_nd_long_df(
@@ -77,6 +118,7 @@ def gradient_nd_long_df(
     index_cols=("i", "j", "l"),
     tile_col: Optional[str] = None,
     axis_names=None,
+    kern="sobel",
 ) -> DataFrame:
     """n-D long/grid form: rows (tile?, i₀..i_{d-1}, var) →
     (tile?, i₀..i_{d-1}, var_<axis> per axis).
@@ -96,13 +138,27 @@ def gradient_nd_long_df(
     keys = [tile_col] if tile_col else []
     out_cols = [f"{var}_{ax}" for ax in axis_names]
 
+    kern = _resolve_kern(kern)
+
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         img = np.zeros(tuple(dims))
-        idx = tuple(pdf[c].to_numpy() for c in index_cols)
+        idx = []
+        for a, c in enumerate(index_cols):
+            v = np.asarray(pdf[c].to_numpy(), dtype=np.int64)
+            # out-of-range indices would wrap (negative) to the opposite
+            # grid edge or raise deep inside the executor batch — reject
+            # them with the offending axis named instead
+            if v.size and (v.min() < 0 or v.max() >= dims[a]):
+                raise ValueError(
+                    f"gradient: index column {c!r} out of range "
+                    f"[0, {dims[a]}) — min {v.min()}, max {v.max()}"
+                )
+            idx.append(v)
+        idx = tuple(idx)
         img[idx] = pdf[var].to_numpy(dtype=float)
         res = pdf[keys + index_cols].copy()
         for a, (oc, s) in enumerate(zip(out_cols, spacings)):
-            res[oc] = sobel_axis(img, a)[idx] / s
+            res[oc] = gradient_axis(img, a, kern)[idx] / s
         return res
 
     schema = ", ".join(
@@ -130,6 +186,7 @@ def gradient_long_df(
     sy: float,
     index_cols=("i", "j"),
     tile_col: Optional[str] = None,
+    kern="sobel",
 ) -> DataFrame:
     """Long/grid form: rows (tile?, i, j, var) → (tile?, i, j, var_x, var_y).
 
@@ -139,13 +196,19 @@ def gradient_long_df(
     ic, jc = index_cols
     keys = [tile_col] if tile_col else []
     out_x, out_y = f"{var}_x", f"{var}_y"
+    kern = _resolve_kern(kern)
 
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         img = np.zeros((nx, ny))
-        ii = pdf[ic].to_numpy()
-        jj = pdf[jc].to_numpy()
+        ii = np.asarray(pdf[ic].to_numpy(), dtype=np.int64)
+        jj = np.asarray(pdf[jc].to_numpy(), dtype=np.int64)
+        for name, v, n in ((ic, ii, nx), (jc, jj, ny)):
+            if v.size and (v.min() < 0 or v.max() >= n):
+                raise ValueError(
+                    f"gradient: index column {name!r} out of range [0, {n})"
+                )
         img[ii, jj] = pdf[var].to_numpy(dtype=float)
-        g0, g1 = sobel_tile(img)
+        g0, g1 = sobel_tile(img, kern)
         res = pdf[keys + [ic, jc]].copy()
         res[out_x] = g0[ii, jj] / sx
         res[out_y] = g1[ii, jj] / sy
@@ -170,13 +233,15 @@ def gradient_long_df(
 @dataclass
 class Gradient:
     var: str
+    kern: object = "sobel"  # registry name or (deriv, smooth) factor pair
 
     def apply(self, gt: GeoTable):
         d = gt.domain
         assert isinstance(d, GridDomain), "gradient only defined over grids"
         m = d.meta
         out = gradient_long_df(
-            gt.df, self.var, m.nx, m.ny, m.sx, m.sy, d.index_cols, d.tile_col
+            gt.df, self.var, m.nx, m.ny, m.sx, m.sy, d.index_cols, d.tile_col,
+            kern=self.kern,
         )
         return GeoTable(out, d, row_id=gt.row_id), None
 

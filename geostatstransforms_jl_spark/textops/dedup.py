@@ -16,12 +16,35 @@ the shapes that survive 100 TB:
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+class _DefaultCap(int):
+    """Sentinel subclass marking a cap value the caller did NOT choose."""
+
+
+def _resolve_cap(cap, what: str, fn: str):
+    """Caps that silently reduce recall must not be silent: when the caller
+    relies on the default, warn once per call site (Python's default warning
+    filter dedups) so the behavior is observable; an explicitly passed value
+    — including None — is the caller's informed choice and stays quiet."""
+    if isinstance(cap, _DefaultCap):
+        warnings.warn(
+            f"{fn}: default {what}={int(cap)} is active — groups over the cap "
+            "are dropped from candidate generation (recall contract in the "
+            f"docstring). Pass {what} explicitly (or None for the unbounded "
+            "exact behavior) to silence this.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return int(cap)
+    return cap
 
 
 def _norm_text(col):
@@ -81,7 +104,7 @@ def _cap_buckets(b: DataFrame, keys, cap: int) -> DataFrame:
 
 def minhash_lsh_pairs(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4,
-    threshold: float = 0.7, max_bucket_size: int = 1000,
+    threshold: float = 0.7, max_bucket_size: int = _DefaultCap(1000),
 ) -> DataFrame:
     """Banded LSH over signatures: documents sharing any band bucket become a
     candidate pair; estimated Jaccard = fraction of equal minhashes; pairs
@@ -93,7 +116,10 @@ def minhash_lsh_pairs(
     oversized — in practice the giant buckets are exact/boilerplate
     duplicates, which `exact_dedup` removes upstream.  LSH is already
     approximate-by-design; the cap only tightens the recall statement for
-    pathological buckets.  Set `max_bucket_size=None` to disable."""
+    pathological buckets.  Set `max_bucket_size=None` to disable.  Relying
+    on the default emits a once-per-callsite RuntimeWarning (see
+    `_resolve_cap`) so the reduced-recall default is never silent."""
+    max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "minhash_lsh_pairs")
     assert bands * rows <= 1000
     b = sigs.select(
         id_col,
@@ -128,12 +154,14 @@ def minhash_lsh_pairs(
 def minhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 64, shingle: int = 3, bands: int = 16, rows: int = 4, threshold: float = 0.7,
+    max_bucket_size: int = _DefaultCap(1000),
 ) -> DataFrame:
     """Greedy near-dup removal: drop any document matched to a smaller id.
     (Union-find over components would also collapse chains; greedy matches
     the common training-pipeline policy and needs one anti-join.)"""
+    max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "minhash_dedup")
     sigs = minhash_signatures(df, text_col, id_col, k, shingle)
-    pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold)
+    pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold, max_bucket_size)
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
@@ -186,7 +214,7 @@ def _band_layout(bands: int):
 
 def simhash_pairs(
     sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = None,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int = _DefaultCap(1000),
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming via banded buckets.
 
@@ -201,7 +229,9 @@ def simhash_pairs(
     this bounds the candidate volume but WEAKENS the pigeonhole guarantee for
     pairs whose every colliding band is oversized — in practice exact and
     near-exact boilerplate groups, which upstream `exact_dedup` removes.
-    `max_bucket_size=None` restores the unconditional guarantee."""
+    `max_bucket_size=None` restores the unconditional guarantee; relying on
+    the default warns once per call site (`_resolve_cap`)."""
+    max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "simhash_pairs")
     if bands is None:
         bands = max_hamming + 1
     assert bands >= max_hamming + 1, (
@@ -233,7 +263,7 @@ def simhash_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.5, max_shingle_df: int = 1000,
+    n: int = 3, threshold: float = 0.5, max_shingle_df: int = _DefaultCap(1000),
 ) -> DataFrame:
     """n-gram Jaccard pairs via inverted-index self-join: only documents
     sharing at least one shingle ever meet.  Output (a, b, jaccard), a < b.
@@ -246,7 +276,9 @@ def ngram_jaccard_pairs(
     stop-shingles, so the similarity stays internally consistent; it differs
     from full-universe Jaccard only for pairs whose resemblance rests on
     ubiquitous shingles, which is precisely the noise the cap removes.
-    `max_shingle_df=None` gives full-universe exact Jaccard (unbounded)."""
+    `max_shingle_df=None` gives full-universe exact Jaccard (unbounded);
+    relying on the default warns once per call site (`_resolve_cap`)."""
+    max_shingle_df = _resolve_cap(max_shingle_df, "max_shingle_df", "ngram_jaccard_pairs")
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     ).distinct()

@@ -42,12 +42,9 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
-@pytest.mark.parametrize("name", sorted(E.queries().keys() - E.oracle_sql().keys()))
-def test_rows_only_queries(spark, name):
-    # non-SQL-expressible ops get the driver's weaker rows-only check
-    df = E.queries()[name](spark, SF_DIR)
-    assert df.count() > 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_oracle():
+    # every queries() entry carries a full DuckDB oracle — no rows-only rows
+    assert E.queries().keys() <= E.oracle_sql().keys()
 
 
 @pytest.mark.parametrize("name", sorted(E.queries().keys() & E.oracle_sql().keys()))

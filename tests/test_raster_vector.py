@@ -71,6 +71,71 @@ def test_sobel_axis_matches_2d_tile():
     np.testing.assert_allclose(sobel_axis(img, 1), g1, atol=1e-12)
 
 
+def test_gradient_kernel_registry_closed_form():
+    # impulse at the center of a 5×5 grid: the separable response factors
+    # as deriv(i-offset) × smooth(j-offset), so each registry kernel is
+    # pinned by two closed-form cells (reference accepts any
+    # KernelFactors.* via `kern`, src/gradient.jl:24)
+    from geostatstransforms_jl_spark.operators.gradient import gradient_axis
+
+    img = np.zeros((5, 5))
+    img[2, 2] = 1.0
+    pins = {  # (G0[1,1], G0[1,2]) = (0.5*smooth_edge, 0.5*smooth_mid)
+        "sobel": (0.5 * 0.25, 0.5 * 0.5),
+        "prewitt": (0.5 / 3.0, 0.5 / 3.0),
+        "scharr": (0.5 * 3.0 / 16.0, 0.5 * 10.0 / 16.0),
+        "central": (0.0, 0.5),
+    }
+    for kern, (edge, mid) in pins.items():
+        g0 = gradient_axis(img, 0, kern)
+        assert g0[1, 1] == pytest.approx(edge), kern
+        assert g0[1, 2] == pytest.approx(mid), kern
+        assert g0[3, 2] == pytest.approx(-mid), kern
+    # every kernel's smoothing sums to 1 (central: 0+1+0), so a pure ramp
+    # recovers the exact slope on interior cells regardless of kernel
+    ramp = np.fromfunction(lambda i, j: 3.0 * i, (6, 6))
+    for kern in ("sobel", "prewitt", "scharr", "ando3", "central"):
+        g0 = gradient_axis(ramp, 0, kern)
+        np.testing.assert_allclose(g0[1:-1, :], 3.0, atol=1e-9, err_msg=kern)
+    # explicit factor pair works; unknown name raises
+    g_custom = gradient_axis(img, 0, ((-0.5, 0.0, 0.5), (0.25, 0.5, 0.25)))
+    np.testing.assert_allclose(g_custom, gradient_axis(img, 0, "sobel"))
+    with pytest.raises(ValueError, match="unknown gradient kernel"):
+        gradient_axis(img, 0, "roberts")
+
+
+def test_gradient_kern_through_operator(spark):
+    # prewitt through the full grid operator: unit step at j>=2 on 5×5 →
+    # a_y at the step columns is ±deriv-weighted 0.5, same as sobel on a
+    # cross-axis-constant input; distinguish kernels via a corner impulse
+    from geostatstransforms_jl_spark.operators.gradient import gradient_long_df
+
+    rows = [(2, 2, 1.0)]
+    df = spark.createDataFrame(rows, "i int, j int, a double")
+    out = gradient_long_df(df, "a", 5, 5, 1.0, 1.0, kern="prewitt")
+    got = {(r.i, r.j): r for r in out.collect()}
+    # only the impulse row is emitted (view semantics); its own gradient is 0
+    assert got[(2, 2)].a_x == pytest.approx(0.0)
+    out_c = gradient_long_df(df, "a", 5, 5, 1.0, 1.0, kern="central")
+    assert {(r.i, r.j) for r in out_c.collect()} == {(2, 2)}
+
+
+def test_gradient_index_out_of_range(spark):
+    from geostatstransforms_jl_spark.operators.gradient import (
+        gradient_long_df,
+        gradient_nd_long_df,
+    )
+
+    df = spark.createDataFrame([(7, 1, 1.0)], "i int, j int, a double")
+    with pytest.raises(Exception) as ei:
+        gradient_long_df(df, "a", 5, 5, 1.0, 1.0).collect()
+    assert "out of range" in str(ei.value)
+    df2 = spark.createDataFrame([(1, -1, 0, 1.0)], "i int, j int, l int, v double")
+    with pytest.raises(Exception) as ei:
+        gradient_nd_long_df(df2, "v", (4, 4, 3), index_cols=("i", "j", "l")).collect()
+    assert "out of range" in str(ei.value)
+
+
 def test_gradient_3d_ramp_exact(spark):
     # 3-D synthetic ramp v = 2i + 3j + 5l on a 6×5×4 grid with spacings
     # (2, 1, 0.5): interior derivative is exactly (2/2, 3/1, 5/0.5);

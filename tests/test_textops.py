@@ -331,3 +331,26 @@ def test_ivf_topk_planted_recall(spark, emb):
     got = {r.q_id - 100_000: r.c_id for r in approx.filter(F.col("rank") == 1).collect()}
     hits = sum(1 for qid, cid in got.items() if qid == cid)
     assert hits >= 18, f"planted-neighbor recall {hits}/20"
+
+
+def test_default_caps_warn_once(spark, docs):
+    # ADVICE r3: the recall-reducing default caps must not be silent —
+    # relying on the default emits a RuntimeWarning; an explicit value
+    # (including None) is quiet
+    import warnings
+
+    sigs = minhash_signatures(docs)
+    with pytest.warns(RuntimeWarning, match="max_bucket_size=1000"):
+        minhash_lsh_pairs(sigs)
+    with pytest.warns(RuntimeWarning, match="minhash_dedup"):
+        minhash_dedup(docs)
+    with pytest.warns(RuntimeWarning, match="max_shingle_df=1000"):
+        ngram_jaccard_pairs(docs)
+    with pytest.warns(RuntimeWarning, match="simhash_pairs"):
+        simhash_pairs(simhash_64(docs))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would fail the test
+        minhash_lsh_pairs(sigs, max_bucket_size=1000)
+        minhash_lsh_pairs(sigs, max_bucket_size=None)
+        ngram_jaccard_pairs(docs, max_shingle_df=500)
+        simhash_pairs(simhash_64(docs), max_bucket_size=None)
