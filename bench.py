@@ -8,6 +8,10 @@ Default mode (what the driver runs): executes the headline queries at
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ..., "rows_per_sec": ...}
 
+Per-query seconds are interleaved best-of-``$SPARK_GRAFT_BENCH_REPS``
+(default 2) and ``value`` is their sum; the raw timings per run are kept in
+``query_runs``.
+
 ``--scaling`` mode evidences the north rule's two-cluster-size criterion in
 this single-node sandbox: the same job runs at two parallelism levels
 (local[8] vs local[32]) in fresh subprocesses, and the throughputs plus
@@ -51,15 +55,23 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
         lambda it: it, "id long"
     ).count()
 
-    per_q = {}
-    t_all = time.perf_counter()
-    for name in names:
-        t0 = time.perf_counter()
-        df = qmap[name](spark, sf_dir)
-        n = df.count()
-        per_q[name] = round(time.perf_counter() - t0, 3)
-        assert n > 0, f"{name} returned 0 rows"
-    total = round(time.perf_counter() - t_all, 3)
+    # interleaved best-of-N (default 2), same protocol the image workload
+    # uses: this host's wall-clock swings ±30% under noisy neighbors, and
+    # r3's snapshot shipped a single-run 2× knn_transfer reading that the
+    # code diff couldn't explain.  Interleaving the full suite (rather than
+    # repeating each query back-to-back) keeps a noise burst from landing on
+    # both runs of the same query; per-query raw runs are kept alongside.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    per_q_runs = {name: [] for name in names}
+    for _ in range(reps):
+        for name in names:
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            n = df.count()
+            per_q_runs[name].append(round(time.perf_counter() - t0, 3))
+            assert n > 0, f"{name} returned 0 rows"
+    per_q = {name: min(rs) for name, rs in per_q_runs.items()}
+    total = round(sum(per_q.values()), 3)
 
     # the north-rule metric itself: image spatial-join + tile-assignment
     # over the input_hint-shaped synthetic table, in the same session.
@@ -71,6 +83,13 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
     runs = [_image_stages(spark, n_img, int(cpus)) for _ in range(2)]
     img = max(runs, key=lambda r: r["images_per_sec"])
     img["runs_sec"] = [r["sec"] for r in runs]
+    # surface the central tendency next to the best so downstream readers
+    # can't mistake best-of-2 for single-run throughput (ADVICE r3)
+    import statistics
+
+    med_sec = statistics.median(r["sec"] for r in runs)
+    img["images_per_sec_best"] = img["images_per_sec"]
+    img["images_per_sec_median"] = round(n_img / med_sec, 1)
     # offline-recorded large-scale numbers (bench.py --knn2m writes this);
     # surfaced here so the driver snapshot carries them with provenance
     rec_path = os.path.join(REPO, "BENCH", "recorded.json")
@@ -84,6 +103,7 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
         "value": total,
         "unit": "sec",
         "queries": per_q,
+        "query_runs": per_q_runs,
         "sf": sf_dir,
         "cpus": int(cpus),
         "lineitem_rows": n_li,
