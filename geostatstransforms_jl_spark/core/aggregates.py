@@ -186,6 +186,66 @@ def grouped_agg(
     return a.join(b, list(keys))
 
 
+MAX_DICT = 1 << 16
+
+
+def dict_encode_strings(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    overrides: Optional[Mapping[str, AggLike]] = None,
+):
+    """Dictionary-encode low-cardinality STRING value columns that aggregate
+    with first/last, so the grouped aggregate stays a Catalyst HASH aggregate.
+
+    A string min_by/first buffer is immutable and forces the sort-based
+    aggregate fallback — a per-partition sort of every input row, which
+    dominates the tile/block ops at scale.  Re-coding such columns to int
+    codes keeps the whole aggregation hash-based; the caller decodes the
+    grouped output with the returned ``decode`` map (col → array literal of
+    the dictionary, 1-indexed via ``element_at(arr, code + 1)``).
+
+    Cost: two tiny driver-bound scans total regardless of string-column count
+    (one approx_count_distinct screen, one collect_set for the survivors) —
+    never a per-column distinct.  Columns whose dictionary would exceed
+    ``MAX_DICT`` stay strings on the sort path.
+
+    Returns ``(df, decode)``; ``decode`` is empty when nothing was encoded.
+    """
+    decode: Dict[str, Column] = {}
+    ov = dict(overrides or {})
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    cands = []
+    for c in value_cols:
+        spec = ov.get(c, default_agg(dtypes[c]))
+        if isinstance(dtypes[c], T.StringType) and spec in ("first", "last"):
+            cands.append(c)
+    if cands:
+        acd = df.agg(*[F.approx_count_distinct(c).alias(c) for c in cands]).first()
+        # ~2% HLL error; keep headroom, verify exactly after the collect_set
+        cands = [c for c in cands if acd[c] <= int(MAX_DICT * 0.95)]
+    if cands:
+        sets = df.agg(*[F.sort_array(F.collect_set(c)).alias(c) for c in cands]).first()
+        for c in cands:
+            vals = list(sets[c])
+            if len(vals) > MAX_DICT:
+                continue
+            code = F.map_from_arrays(
+                F.array(*[F.lit(v) for v in vals]),
+                F.array(*[F.lit(i) for i in range(len(vals))]),
+            )
+            df = df.withColumn(c, F.element_at(code, F.col(c)))
+            decode[c] = F.array(*[F.lit(v) for v in vals])
+    return df, decode
+
+
+def dict_decode(out: DataFrame, decode: Mapping[str, Column]) -> DataFrame:
+    """Invert :func:`dict_encode_strings` on the aggregated output (NULL codes
+    decode to NULL — ``element_at`` is null-safe on a null index + 1)."""
+    for c, arr in decode.items():
+        out = out.withColumn(c, F.element_at(arr, F.col(c) + 1))
+    return out
+
+
 def resolve_aggs(
     df: DataFrame,
     value_cols: Sequence[str],

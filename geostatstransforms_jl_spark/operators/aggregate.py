@@ -23,7 +23,13 @@ from typing import Mapping, Optional, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.aggregates import AggLike, grouped_agg, resolve_aggs
+from ..core.aggregates import (
+    AggLike,
+    dict_decode,
+    dict_encode_strings,
+    grouped_agg,
+    resolve_aggs,
+)
 from ..core.geotable import GeoTable, GridDomain, PointDomain, grid_centroids, full_grid
 from ..core.grid import GridMeta
 from ..functions.knn import knn_join
@@ -42,6 +48,10 @@ def aggregate_to_points_df(
     """General path: 1-NN assign sources→targets, group by target, left-join
     back so unmatched targets surface as NULLs."""
     value_cols = [c for c in sources.columns if c not in set(s_coords) | {row_id}]
+    # dictionary-encode string first/last columns BEFORE the kNN join: the
+    # grouped aggregate stays hash-based AND the join carries int codes
+    # instead of strings (core.aggregates.dict_encode_strings)
+    sources, decode = dict_encode_strings(sources, value_cols, overrides)
     # 1-NN of each *source* against the target set (roles flipped vs knn_join's
     # naming: here "targets" of the knn search are the Aggregate sources)
     nn = knn_join(
@@ -58,7 +68,7 @@ def aggregate_to_points_df(
         F.col(f"s_{t_id}").alias("_tgt"), *[F.col(f"t_{c}").alias(c) for c in [row_id, *value_cols]]
     )
     aggs, pandas_cols = resolve_aggs(sources, value_cols, overrides, order_col=row_id)
-    grouped = grouped_agg(assigned, ["_tgt"], aggs, pandas_cols)
+    grouped = dict_decode(grouped_agg(assigned, ["_tgt"], aggs, pandas_cols), decode)
     out = targets.join(grouped, targets[t_id] == grouped["_tgt"], "left").drop("_tgt")
     return out
 

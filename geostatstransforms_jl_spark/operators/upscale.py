@@ -19,7 +19,13 @@ from typing import Mapping, Optional, Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.aggregates import AggLike, grouped_agg, resolve_aggs
+from ..core.aggregates import (
+    AggLike,
+    dict_decode,
+    dict_encode_strings,
+    grouped_agg,
+    resolve_aggs,
+)
 from ..core.geotable import GeoTable, GridDomain
 from ..core.grid import fitdims
 
@@ -32,15 +38,24 @@ def upscale_df(
     tile_col: Optional[str] = None,
     overrides: Optional[Mapping[str, AggLike]] = None,
     row_id: str = "row_id",
+    dict_encode: bool = True,
 ) -> DataFrame:
     ic, jc = index_cols
     keys = ([tile_col] if tile_col else []) + [ic, jc]
     value_cols = [c for c in df.columns if c not in set(keys) | {row_id}]
+    # string first/last would force SortAggregate over the FULL input grid —
+    # dictionary-encode so the block aggregation stays hash-based (the same
+    # trick unique_coords_df uses; core.aggregates.dict_encode_strings)
+    decode = {}
+    if dict_encode:
+        df, decode = dict_encode_strings(df, value_cols, overrides)
     aggs, pandas_cols = resolve_aggs(df, value_cols, overrides, order_col=row_id)
     blocked = df.withColumn(ic, F.floor(F.col(ic) / fx).cast("int")).withColumn(
         jc, F.floor(F.col(jc) / fy).cast("int")
     )
-    return grouped_agg(blocked, keys, aggs, pandas_cols).select(*keys, *value_cols)
+    out = grouped_agg(blocked, keys, aggs, pandas_cols)
+    out = dict_decode(out, decode)
+    return out.select(*keys, *value_cols)
 
 
 @dataclass

@@ -23,7 +23,11 @@ referenced lineitem columns.""",
  "upscale": """Tile-block coarsening is integer arithmetic in the grouping key
 (`floor(i/2)`, `floor(j/2)`) — no UDF, one hash aggregate, whole-stage
 codegen'd from the parquet scan up. This is the reference's TileIterator fast
-path (src/upscale.jl:45-55) expressed as a Catalyst plan.""",
+path (src/upscale.jl:45-55) expressed as a Catalyst plan. The categorical
+`flag` column is dictionary-encoded (same trick as uniquecoords) so the
+`first` aggregate keeps a mutable int buffer — r3's captured plan showed the
+SortAggregate fallback here; now it is a pure HashAggregate, asserted by
+tests/test_grid_ops.py::test_upscale_string_column_stays_hash_aggregate.""",
  "knn_transfer": """Physical dispatch chose the broadcast-KD path (sources =
 supplier, well under the 20k broadcast threshold): ONE narrow `MapInPandas`
 pass over the targets — no shuffle, no join, no window. At larger source
@@ -49,5 +53,15 @@ for q in COMMENT:
     out.append("\n```")
     out.append(tree(q).strip())
     out.append("```\n")
+
+# hand-written analysis sections (measured rules, spatial-join plan notes)
+# live after the captured plans — preserve them across regeneration
+KEEP_FROM = "## Round-2 measured rules"
+try:
+    prev = open("/root/repo/PLANS.md").read()
+    k = prev.index(KEEP_FROM)
+    out.append(prev[k:].rstrip() + "\n")
+except (FileNotFoundError, ValueError):
+    pass
 open("/root/repo/PLANS.md","w").write("\n".join(out))
 print("written")
