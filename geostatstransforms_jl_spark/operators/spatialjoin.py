@@ -89,7 +89,7 @@ def pip_join(
     geom_id: str = "geom_id",
     coords: Sequence[str] = ("x", "y"),
     broadcast_geoms: Optional[bool] = None,
-    geom_broadcast_threshold: int = 1_000_000,
+    geom_broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """points (point_id, x, y) × geoms (geom_id, rings) → (point_id,
     geom_id) even-odd containment pairs.
@@ -98,15 +98,21 @@ def pip_join(
     holes, even-odd combined (a point inside a hole is outside, because
     hole edges add crossings), exactly like the rasterizer.
     `broadcast_geoms`: force/forbid broadcasting the polygon side; default
-    auto (broadcast when the polygon count is below the threshold — checked
-    lazily via a cheap count only when the caller didn't decide).
+    auto.  The auto decision sizes what is ACTUALLY broadcast — the
+    bbox-cell-exploded `gcells` (one row per polygon per covered cell) and
+    the per-vertex `edges` — not the raw polygon count: a million polygons
+    spanning hundreds of cells each would be a multi-GB broadcast long
+    before any polygon-count threshold trips.  Both estimated row counts
+    must stay under `geom_broadcast_threshold` (default 2M rows ≈ 64 MB for
+    cells, ≈ 96 MB for edges — comfortable executor/driver headroom); the
+    estimate is ONE cheap aggregate over the polygon table.
     """
     px, py = coords
 
     flat = F.flatten(F.col("rings"))
     xs = F.transform(flat, lambda p: p["x"])
     ys = F.transform(flat, lambda p: p["y"])
-    gcells = geoms.select(
+    bbox = geoms.select(
         geom_id,
         F.greatest(
             F.lit(0),
@@ -124,7 +130,21 @@ def pip_join(
             F.lit(meta.ny - 1),
             F.floor((F.array_max(ys) - F.lit(meta.oy)) / F.lit(meta.sy)).cast("int"),
         ).alias("j_hi"),
-    ).filter(
+        F.size(flat).alias("_nv"),
+    )
+    if broadcast_geoms is None:
+        est = bbox.agg(
+            F.sum(
+                F.greatest(F.lit(0).cast("long"), (F.col("i_hi") - F.col("i_lo") + 1).cast("long"))
+                * F.greatest(F.lit(0).cast("long"), (F.col("j_hi") - F.col("j_lo") + 1).cast("long"))
+            ).alias("cells"),
+            F.sum("_nv").alias("verts"),
+        ).first()
+        broadcast_geoms = (
+            (est["cells"] or 0) <= geom_broadcast_threshold
+            and (est["verts"] or 0) <= geom_broadcast_threshold
+        )
+    gcells = bbox.filter(
         (F.col("i_lo") <= F.col("i_hi")) & (F.col("j_lo") <= F.col("j_hi"))
     ).select(
         geom_id,
@@ -135,8 +155,6 @@ def pip_join(
         geom_id, "i", F.explode(F.sequence("j_lo", "j_hi")).alias("j")
     )
 
-    if broadcast_geoms is None:
-        broadcast_geoms = geoms.limit(geom_broadcast_threshold + 1).count() <= geom_broadcast_threshold
     if broadcast_geoms:
         gcells = F.broadcast(gcells)
 
