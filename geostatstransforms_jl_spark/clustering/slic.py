@@ -15,13 +15,19 @@ Semantics reproduced:
   reference's Inf/NaN behavior when orphans exist;
 * orphans get the label of their nearest assigned point (:100-112).
 
-Spark plan: the centers table is tiny (k rows) → broadcast cross join +
-radius filter for assignment (a real deployment with k ~ 10⁶ switches to the
-cell-ring join; the operator takes `assign_via_cells=True` for that).  Each
-Lloyd iteration is one job over the points: `min_by(struct(dt, k))` per point
-merged with the previous best, then a `groupBy(label)` medoid update whose
-k-row result is collected.  State persists via localCheckpoint to keep the
-lineage flat across iterations.
+Spark plan: at reference-like k (tens–hundreds of centers) the centers table
+is tiny → broadcast cross join + radius filter for assignment.  That
+candidate volume is O(n·k) before the filter, so superpixel-scale k
+(~10⁴–10⁶) passes `assign_via_cells=True`: candidates route through the
+cell-ring `radius_join` (ball radius = s_max), whose volume is
+O(points-per-ball · k) — independent of total k — at the cost of one extra
+shuffle on cell keys per Lloyd iteration.  Both paths share the dt formula
+term-for-term and the exact squared-radius filter, so labels are identical
+(asserted in tests/test_clustering.py).  Each Lloyd iteration is one job
+over the points: `min_by(struct(dt, k))` per point merged with the previous
+best, then a `groupBy(label)` medoid update whose k-row result is collected.
+State persists via localCheckpoint to keep the lineage flat across
+iterations.
 """
 
 from __future__ import annotations
@@ -36,7 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..core.geotable import GeoTable, GridDomain, PointDomain, grid_centroids
-from ..functions.knn import knn_join
+from ..functions.knn import knn_join, radius_join
 
 
 def slic_spacing(k: int, sides: Sequence[float]):
@@ -79,8 +85,14 @@ def slic_df(
     feature_cols: Optional[Sequence[str]] = None,
     coord_cols=("x", "y"),
     row_id: str = "row_id",
+    assign_via_cells: bool = False,
 ) -> DataFrame:
     """Returns (row_id, *coord_cols, label) with labels 1..#centers.
+
+    `assign_via_cells=True` swaps the per-iteration broadcast cross join for
+    the cell-ring `radius_join` (ball radius = s_max): label-identical, and
+    the candidate volume no longer scales with total center count — the
+    large-k path (see the module docstring).
 
     n-D: `coord_cols` may hold any number of axes — the spacing recursion
     (slic_spacing), lattice enumeration (first axis fastest, matching the
@@ -146,7 +158,7 @@ def slic_df(
             + "".join(f", kc_{j} double" for j in range(len(coords)))
             + "".join(f", kf_{c} double" for c in feats)
         )
-        return F.broadcast(spark.createDataFrame(data, schema))
+        return spark.createDataFrame(data, schema)
 
     state = d.select(
         row_id, *coords, *feats,
@@ -164,7 +176,37 @@ def slic_df(
         for c, w in zip(feats, wvec):
             dv2 = dv2 + F.lit(w) * (F.col(c) - F.col(f"kf_{c}")) ** 2
         dt = F.sqrt(dv2 + F.lit(m * m) * ds2 / F.lit(s_max * s_max))
-        cand = state.crossJoin(cdf).filter(ds2 <= F.lit(s_max * s_max)).withColumn("dt", dt)
+        if assign_via_cells:
+            # candidates via the cell-ring ball join: O(points-per-ball · k)
+            # instead of the cross join's O(n · k).  radius_join's own filter
+            # is sqrt-based; inflate its radius a hair and re-apply the exact
+            # squared-radius predicate below so the ball membership — and
+            # therefore the labels — are bit-identical to the broadcast path.
+            kc_cols = [f"kc_{j}" for j in range(len(coords))]
+            kf_cols = [f"kf_{c}" for c in feats]
+            rj = radius_join(
+                state.select(row_id, *coords, *feats),
+                cdf,
+                radius=s_max * (1.0 + 1e-9),
+                t_id=row_id,
+                s_id="k",
+                t_coords=coords,
+                s_coords=kc_cols,
+                t_carry=tuple(feats),
+                s_carry=tuple(kf_cols),
+                salt_threshold=None,
+            )
+            cand = rj.select(
+                F.col(f"t_{row_id}").alias(row_id),
+                *[F.col(f"t_{c}").alias(c) for c in coords],
+                *[F.col(f"t_{c}").alias(c) for c in feats],
+                F.col("s_k").alias("k"),
+                *[F.col(f"s_{c}").alias(c) for c in kc_cols],
+                *[F.col(f"s_{c}").alias(c) for c in kf_cols],
+            )
+        else:
+            cand = state.crossJoin(F.broadcast(cdf))
+        cand = cand.filter(ds2 <= F.lit(s_max * s_max)).withColumn("dt", dt)
         best = cand.groupBy(row_id).agg(
             F.min(F.struct(F.col("dt").alias("d"), F.col("k").alias("k"))).alias("b")
         ).select(row_id, F.col("b.d").alias("nd"), F.col("b.k").alias("nk"))
@@ -223,6 +265,7 @@ class SLIC:
     tol: float = 1e-4
     maxiter: int = 10
     weights: Optional[dict] = None
+    assign_via_cells: bool = False
 
     def apply(self, gt: GeoTable):
         if isinstance(gt.domain, GridDomain):
@@ -237,6 +280,7 @@ class SLIC:
         out = slic_df(
             df, self.k, self.m, self.tol, self.maxiter, self.weights,
             coord_cols=coord_cols, row_id=gt.row_id,
+            assign_via_cells=self.assign_via_cells,
         )
         return GeoTable(out, PointDomain(coord_cols), row_id=gt.row_id), None
 
