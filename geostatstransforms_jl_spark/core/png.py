@@ -101,13 +101,29 @@ def png_decode(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or color_type not in (0, 2) or interlace != 0:
-                raise NotImplementedError("only 8-bit gray/RGB non-interlaced PNG")
+            ok = (depth == 8 and color_type in (0, 2)) or (
+                depth in (1, 2, 4) and color_type == 0
+            )
+            if not ok or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit gray/RGB or 1/2/4-bit gray, non-interlaced PNG"
+                )
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if color_type == 0 and depth < 8:
+        # sub-byte grayscale (e.g. the reference's 1-bit letters.png
+        # fixture, test/data/letters.png): filtering operates on the packed
+        # bytes with bpp=1, then bits unpack MSB-first and scale to the
+        # full 8-bit range (0..2^d-1 → 0..255, the PNG sample expansion)
+        stride = (w * depth + 7) // 8
+        out = _unfilter(raw, h, stride, 1)
+        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        v = (bits * weights).sum(axis=2)
+        return (v * (255 // ((1 << depth) - 1))).astype(np.uint8)
     ch = 3 if color_type == 2 else 1
     stride = w * ch
     out = _unfilter(raw, h, stride, ch)

@@ -76,3 +76,42 @@ def test_tile_grid_meta():
     m = tile_grid_meta(phash=12345678, w=32, h=16)
     assert m.nx == 32 and m.ny == 16
     assert 0 <= m.ox < 1 and 0 <= m.oy < 1
+
+
+def test_letters_png_golden_parity(spark):
+    # The reference's only binary golden fixture (test/potrace.jl:2-13 via
+    # test/runtests.jl): trace test/data/letters.png with Potrace(color) →
+    # 2 color groups in column-major first-occurrence order, the first with
+    # 4 polygons and the second with 2.  Decoded here by the repo's own
+    # 1-bit PNG path; we additionally assert the exact revert (the
+    # reference only checks the reverted grid's geometry).
+    import numpy as np
+
+    from geostatstransforms_jl_spark.core.geotable import georef_grid
+    from geostatstransforms_jl_spark.core.grid import GridMeta
+    from geostatstransforms_jl_spark.core.png import png_decode
+    from geostatstransforms_jl_spark.operators import Potrace
+
+    arr = png_decode(open("/root/reference/test/data/letters.png", "rb").read())
+    assert arr.shape == (265, 167)
+    h, w = arr.shape
+    rows = [(i, j, int(arr[i, j])) for i in range(h) for j in range(w)]
+    df = spark.createDataFrame(rows, "i int, j int, color int")
+    meta = GridMeta(h, w)
+    gt = georef_grid(df, meta)
+    tr = Potrace("color")
+    out, cache = tr.apply(gt)
+    got = out.df.collect()
+    assert len(got) == 2  # nelements(ndom) == 2
+    by_color = {r.color: r.polys for r in got}
+    # column-major first-occurrence order: corner color first
+    first, second = dict.fromkeys(arr.ravel(order="F").tolist())
+    assert len(by_color[first]) == 4  # length(polys1) == 4
+    assert len(by_color[second]) == 2  # length(polys2) == 2
+    # revert: same grid, and (stronger than the reference) identical values
+    rgt = tr.revert(out, cache)
+    assert rgt.domain.meta == meta
+    back = {(r.i, r.j): r.color for r in rgt.df.collect()}
+    assert len(back) == h * w
+    mism = sum(1 for (i, j), c in back.items() if c != int(arr[i, j]))
+    assert mism == 0, f"{mism} cells differ after revert"
