@@ -620,6 +620,34 @@ def q_knn3d_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_idw3d_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D InterpolateNeighbors/IDW — the operator surface is now n-D like
+    the reference (src/interpneighbors.jl:47-87 is dimension-generic): the
+    kNN join, the IDW reduction, and the target normalization all thread
+    the (x, y, z) coordinate tuple."""
+    from geostatstransforms_jl_spark.core.geotable import georef_points
+    from geostatstransforms_jl_spark.functions.models import IDW
+    from geostatstransforms_jl_spark.operators import InterpolateNeighbors
+
+    src = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("row_id"),
+        (F.col("s_suppkey") % 97).cast("double").alias("x"),
+        (F.col("s_suppkey") % 89).cast("double").alias("y"),
+        (F.col("s_suppkey") % 17).cast("double").alias("z"),
+        F.col("s_acctbal").cast("double").alias("bal"),
+    )
+    tgt = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("row_id"),
+        (F.col("c_custkey") % 97).cast("double").alias("x"),
+        (F.col("c_custkey") % 89).cast("double").alias("y"),
+        (F.col("c_custkey") % 17).cast("double").alias("z"),
+    )
+    out, _ = InterpolateNeighbors(tgt, model=IDW(), maxneighbors=8).apply(
+        georef_points(src, coord_cols=("x", "y", "z"))
+    )
+    return out.df.select(F.col("row_id").alias("cust"), F.round("bal", 6).alias("bal"))
+
+
 def q_gradient_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-D Sobel (reference imgradients is dimension-generic,
     src/gradient.jl:56) over a complete 16×16×8 lineitem grid with
@@ -839,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_roundtrip": q_detrend_roundtrip,
         "uniquecoords_3d": q_uniquecoords_3d,
         "knn3d_transfer": q_knn3d_transfer,
+        "idw3d_neighbors": q_idw3d_neighbors,
         "gradient_3d": q_gradient_3d,
         "units_convert": q_units_convert,
         "pip_spatial_join": q_pip_spatial_join,
@@ -1101,6 +1130,49 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT a.supp, ROUND(COALESCE(h.bal, a.num / a.den), 6) AS bal
             FROM agg a LEFT JOIN hit h USING (supp)
+        """,
+        "idw3d_neighbors": """
+            WITH s AS (
+              SELECT s_suppkey::BIGINT AS sid,
+                     (s_suppkey % 97)::DOUBLE AS x,
+                     (s_suppkey % 89)::DOUBLE AS y,
+                     (s_suppkey % 17)::DOUBLE AS z,
+                     s_acctbal::DOUBLE AS bal
+              FROM supplier
+            ), t AS (
+              SELECT c_custkey::BIGINT AS row_id,
+                     (c_custkey % 97)::DOUBLE AS x,
+                     (c_custkey % 89)::DOUBLE AS y,
+                     (c_custkey % 17)::DOUBLE AS z
+              FROM customer
+            ),
+            ranked AS (
+              SELECT t.row_id AS cust, s.bal, s.sid,
+                     sqrt((t.x - s.x) * (t.x - s.x) + (t.y - s.y) * (t.y - s.y)
+                          + (t.z - s.z) * (t.z - s.z)) AS dist,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY t.row_id
+                       ORDER BY sqrt((t.x - s.x) * (t.x - s.x) + (t.y - s.y) * (t.y - s.y)
+                                     + (t.z - s.z) * (t.z - s.z)), s.sid
+                     ) AS rn
+              FROM t CROSS JOIN s
+            ),
+            top AS (SELECT * FROM ranked WHERE rn <= 8),
+            agg AS (
+              SELECT cust,
+                     SUM(CASE WHEN dist >= 1e-12 THEN bal / dist END) AS num,
+                     SUM(CASE WHEN dist >= 1e-12 THEN 1.0 / dist END) AS den
+              FROM top GROUP BY cust
+            ),
+            hit AS (
+              SELECT cust, bal FROM (
+                SELECT cust, bal,
+                       ROW_NUMBER() OVER (PARTITION BY cust ORDER BY dist, sid) AS rn2
+                FROM top WHERE dist < 1e-12
+              ) WHERE rn2 = 1
+            )
+            SELECT a.cust, ROUND(COALESCE(h.bal, a.num / a.den), 6) AS bal
+            FROM agg a LEFT JOIN hit h USING (cust)
         """,
         "dedup_exact": r"""
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

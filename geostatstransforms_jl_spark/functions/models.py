@@ -139,9 +139,10 @@ def kriging_reduce(
     samples yields NULL for that column.
     """
     gamma = model.gamma()
-    tx, ty = t_coords
-    sx, sy = s_coords
-    cols = [tid, tx, ty, sx, sy] + [f"s_{c}" for c in value_cols]
+    tcs, scs = list(t_coords), list(s_coords)
+    assert len(tcs) == len(scs), "target/sample coordinate arity mismatch"
+    ndim = len(tcs)
+    cols = [tid, *tcs, *scs] + [f"s_{c}" for c in value_cols]
     fields = [T.StructField(tid, pairs.schema[tid].dataType)] + [
         T.StructField(c, T.DoubleType()) for c in value_cols
     ]
@@ -151,8 +152,9 @@ def kriging_reduce(
     offs = (
         np.array(support_offsets, dtype=float)
         if support_offsets is not None
-        else np.zeros((1, 2))
+        else np.zeros((1, ndim))
     )
+    assert offs.shape[1] == ndim, "support offsets must match coordinate arity"
     # within-block mean semivariogram γ̄(B,B) over offset pairs; zero for
     # point support (single zero offset, γ(0) = 0)
     _dbb = np.sqrt(((offs[:, None, :] - offs[None, :, :]) ** 2).sum(-1))
@@ -161,7 +163,7 @@ def kriging_reduce(
     gamma_bb = float(_gbb.mean())
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        X = pdf[[sx, sy]].to_numpy(dtype=float)
+        X = pdf[scs].to_numpy(dtype=float)
         k = len(X)
         if k < min_neighbors:
             row = {tid: pdf[tid].iloc[0], **{c: None for c in value_cols}}
@@ -174,7 +176,7 @@ def kriging_reduce(
         A[k, :k] = 1.0
         A[:k, k] = 1.0
         A[k, k] = 0.0
-        c0 = np.array([pdf[tx].iloc[0], pdf[ty].iloc[0]])
+        c0 = pdf[tcs].iloc[0].to_numpy(dtype=float)
         # block support: average γ over the quadrature offsets (point
         # support is the single zero offset)
         g0 = np.zeros(k)

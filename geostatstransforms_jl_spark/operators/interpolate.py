@@ -30,7 +30,8 @@ from ..functions.models import IDW, NN, Kriging, kriging_reduce
 
 def _target_df(spark, tgt, row_id="row_id"):
     """Normalize a target domain (GridMeta | GeoTable | DataFrame) to a point
-    DataFrame (row_id, x, y) plus the output GeoTable domain."""
+    DataFrame plus the output GeoTable domain and its coordinate columns —
+    dimension-generic like the reference (src/interpolate.jl:35-58)."""
     if isinstance(tgt, GridMeta):
         cells = full_grid(spark, tgt)
         tdf = cells.select(
@@ -40,10 +41,18 @@ def _target_df(spark, tgt, row_id="row_id"):
             (F.lit(tgt.ox) + (F.col("i") + F.lit(0.5)) * F.lit(tgt.sx)).alias("x"),
             (F.lit(tgt.oy) + (F.col("j") + F.lit(0.5)) * F.lit(tgt.sy)).alias("y"),
         )
-        return tdf, GridDomain(tgt)
+        return tdf, GridDomain(tgt), ("x", "y")
     if isinstance(tgt, GeoTable):
-        return tgt.df, tgt.domain
-    return tgt, PointDomain(("x", "y"))
+        coords = (
+            tgt.domain.coord_cols
+            if isinstance(tgt.domain, PointDomain)
+            else ("x", "y")
+        )
+        return tgt.df, tgt.domain, coords
+    # plain DataFrame: every non-id column named like a coordinate axis
+    axes = [c for c in ("x", "y", "z") if c in tgt.columns]
+    coords = tuple(axes) if axes else ("x", "y")
+    return tgt, PointDomain(coords), coords
 
 
 def _samples(gt: GeoTable):
@@ -69,6 +78,8 @@ def interpolate_pairs_reduce(
     min_neighbors: int = 1,
     prob: bool = False,
     support_offsets=None,
+    t_coords=("t_x", "t_y"),
+    s_coords=("s_x", "s_y"),
 ) -> DataFrame:
     """Reduce neighbor pairs per target under the model."""
     if prob and not isinstance(model, Kriging):
@@ -80,6 +91,7 @@ def interpolate_pairs_reduce(
         out = kriging_reduce(
             pairs, model, value_cols, tid, min_neighbors=min_neighbors,
             prob=prob, support_offsets=support_offsets,
+            t_coords=t_coords, s_coords=s_coords,
         )
     else:
         exprs = model.agg_exprs(value_cols, sid="s_row_id")
@@ -126,29 +138,33 @@ class Interpolate:
     def apply(self, gt: GeoTable):
         spark = gt.df.sparkSession
         sdf, s_coords = _samples(gt)
-        tdf, tdomain = _target_df(spark, self.target, gt.row_id)
+        tdf, tdomain, t_coords = _target_df(spark, self.target, gt.row_id)
+        assert len(t_coords) == len(s_coords), (
+            f"target is {len(t_coords)}-D but samples are {len(s_coords)}-D"
+        )
         value_cols = [c for c in sdf.columns if c not in {*s_coords, gt.row_id}]
 
         # all-samples cross join; samples broadcast (small by contract)
-        t = tdf.select(F.col(gt.row_id).alias("t_row_id"), F.col("x").alias("t_x"), F.col("y").alias("t_y"))
+        t = tdf.select(
+            F.col(gt.row_id).alias("t_row_id"),
+            *[F.col(c).alias(f"t_{c}") for c in t_coords],
+        )
         s = F.broadcast(
             sdf.select(
                 F.col(gt.row_id).alias("s_row_id"),
-                F.col(s_coords[0]).alias("s_x"),
-                F.col(s_coords[1]).alias("s_y"),
+                *[F.col(sc).alias(f"s_{tc}") for sc, tc in zip(s_coords, t_coords)],
                 *[F.col(c).alias(f"s_{c}") for c in value_cols],
             )
         )
-        pairs = t.crossJoin(s).withColumn(
-            "dist",
-            F.sqrt(
-                (F.col("t_x") - F.col("s_x")) * (F.col("t_x") - F.col("s_x"))
-                + (F.col("t_y") - F.col("s_y")) * (F.col("t_y") - F.col("s_y"))
-            ),
-        )
+        d2 = F.lit(0.0)
+        for c in t_coords:
+            d2 = d2 + (F.col(f"t_{c}") - F.col(f"s_{c}")) * (F.col(f"t_{c}") - F.col(f"s_{c}"))
+        pairs = t.crossJoin(s).withColumn("dist", F.sqrt(d2))
         reduced = interpolate_pairs_reduce(
             pairs, self.model, value_cols, "t_row_id",
             prob=self.prob, support_offsets=_support_offsets(self.target, self.point),
+            t_coords=[f"t_{c}" for c in t_coords],
+            s_coords=[f"s_{c}" for c in t_coords],
         )
         out = tdf.join(reduced, tdf[gt.row_id] == reduced["t_row_id"], "left").drop("t_row_id")
         if isinstance(tdomain, GridDomain):
@@ -174,15 +190,19 @@ class InterpolateNeighbors:
     def apply(self, gt: GeoTable):
         spark = gt.df.sparkSession
         sdf, s_coords = _samples(gt)
-        tdf, tdomain = _target_df(spark, self.target, gt.row_id)
+        tdf, tdomain, t_coords = _target_df(spark, self.target, gt.row_id)
+        assert len(t_coords) == len(s_coords), (
+            f"target is {len(t_coords)}-D but samples are {len(s_coords)}-D"
+        )
         value_cols = [c for c in sdf.columns if c not in {*s_coords, gt.row_id}]
 
         pairs = knn_join(
-            tdf.select(gt.row_id, "x", "y"),
+            tdf.select(gt.row_id, *t_coords),
             sdf,
             k=self.maxneighbors,
             t_id=gt.row_id,
             s_id=gt.row_id,
+            t_coords=tuple(t_coords),
             s_coords=tuple(s_coords),
             s_carry=value_cols,
             max_radius=self.radius,
@@ -191,6 +211,8 @@ class InterpolateNeighbors:
         reduced = interpolate_pairs_reduce(
             pairs, self.model, value_cols, tid, self.minneighbors,
             prob=self.prob, support_offsets=_support_offsets(self.target, self.point),
+            t_coords=[f"t_{c}" for c in t_coords],
+            s_coords=[f"s_{c}" for c in s_coords],
         )
         out = tdf.join(reduced, tdf[gt.row_id] == reduced[tid], "left").drop(tid)
         if isinstance(tdomain, GridDomain):

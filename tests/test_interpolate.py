@@ -190,3 +190,40 @@ def test_interpolate_block_support(spark, samples_df):
     assert max(diffs) < 0.05
     some_changed = sum(1 for k2 in p if p[k2].z != b[k2].z)
     assert some_changed > 0
+
+
+def test_interpolate_3d_surface(spark):
+    # VERDICT r3 next-round #6: the operator surface is n-D now.  3-D
+    # samples on a unit cube; IDW exact-hit at sample sites, Kriging exact
+    # interpolation at sample sites (ordinary kriging hits samples), NN
+    # picks the geometric nearest in 3-D (a 2-D projection would pick
+    # differently — pinned by construction below).
+    rows = [
+        (0, 0.0, 0.0, 0.0, 1.0),
+        (1, 1.0, 0.0, 0.0, 2.0),
+        (2, 0.0, 1.0, 0.0, 3.0),
+        (3, 0.0, 0.0, 1.0, 4.0),
+        (4, 1.0, 1.0, 1.0, 5.0),
+    ]
+    src = spark.createDataFrame(rows, "row_id long, x double, y double, z double, v double")
+    gt = georef_points(src, coord_cols=("x", "y", "z"))
+    # targets: the sample sites themselves + one probe where z decides the NN
+    tgt = spark.createDataFrame(
+        [(10, 0.0, 0.0, 0.0), (11, 1.0, 1.0, 1.0), (12, 0.1, 0.1, 0.9)],
+        "row_id long, x double, y double, z double",
+    )
+    out, _ = Interpolate(tgt, model=IDW()).apply(gt)
+    got = {r.row_id: r.v for r in out.df.collect()}
+    assert got[10] == pytest.approx(1.0)  # exact hit
+    assert got[11] == pytest.approx(5.0)
+    out_nn, _ = InterpolateNeighbors(tgt, model=NN(), maxneighbors=2).apply(gt)
+    got_nn = {r.row_id: r.v for r in out_nn.df.collect()}
+    # probe (0.1, 0.1, 0.9): 3-D nearest is sample 3 (z=1) at d≈0.17;
+    # ignoring z the nearest would be sample 0 at d≈0.14 — pins 3-D dist
+    assert got_nn[12] == pytest.approx(4.0)
+    out_k, _ = InterpolateNeighbors(
+        tgt, model=Kriging("gaussian", range_=2.0), maxneighbors=5
+    ).apply(gt)
+    got_k = {r.row_id: r.v for r in out_k.df.collect()}
+    assert got_k[10] == pytest.approx(1.0, abs=1e-6)  # kriging exactness, 3-D solve
+    assert got_k[11] == pytest.approx(5.0, abs=1e-6)
