@@ -69,6 +69,63 @@ def _dist_expr(tcols, scols):
     return F.sqrt(acc)
 
 
+def metric_cholesky(metric, ndim: int) -> "np.ndarray":
+    """Normalize a metric spec to the linear map L under which the metric is
+    plain Euclidean on x' = Lᵀx.
+
+    * a length-d sequence of positive per-axis weights w — weighted
+      Euclidean d² = Σ wᵢ·Δᵢ² (the reference's axis-scaled `MetricBall`,
+      src/interpneighbors.jl:66) — gives L = diag(√w);
+    * a d×d SPD matrix M — anisotropic d² = ΔᵀMΔ (Mahalanobis / rotated
+      ellipsoid) — gives its Cholesky factor (M = LLᵀ ⇒ ΔᵀMΔ = |LᵀΔ|²).
+    """
+    import numpy as np
+
+    m = np.asarray(metric, dtype=float)
+    if m.ndim == 1:
+        if m.shape != (ndim,) or not (m > 0).all():
+            raise ValueError(f"metric weights must be {ndim} positive values")
+        return np.diag(np.sqrt(m))
+    if m.shape != (ndim, ndim):
+        raise ValueError(f"metric matrix must be {ndim}x{ndim}")
+    return np.linalg.cholesky(m)  # raises LinAlgError when not SPD
+
+
+def _metric_join(join_fn, targets, sources, t_coords, s_coords,
+                 t_carry, s_carry, metric, kw):
+    """Run `join_fn` under a non-Euclidean metric by pre-transforming both
+    sides' coordinates (x' = Lᵀx) into temp columns — every physical
+    strategy (cell ladder, broadcast, dedup fast path, salting) then works
+    unchanged, and `dist`/radii are in METRIC units.  Original coordinates
+    ride along via carry and the temp columns are dropped from the output."""
+    tc, sc = list(t_coords), list(s_coords)
+    assert len(tc) == len(sc), "coordinate arity mismatch"
+    L = metric_cholesky(metric, len(tc))
+    mcols = [f"_m{j}" for j in range(len(tc))]
+
+    def add(df, coords):
+        for j, mc in enumerate(mcols):
+            expr = None
+            for i, c in enumerate(coords):
+                if L[i, j] == 0.0:
+                    continue
+                term = F.col(c) * F.lit(float(L[i, j]))
+                expr = term if expr is None else expr + term
+            df = df.withColumn(mc, expr if expr is not None else F.lit(0.0))
+        return df
+
+    out = join_fn(
+        add(targets, tc),
+        add(sources, sc),
+        t_coords=tuple(mcols),
+        s_coords=tuple(mcols),
+        t_carry=tuple(dict.fromkeys([*tc, *t_carry])),
+        s_carry=tuple(dict.fromkeys([*sc, *s_carry])),
+        **kw,
+    )
+    return out.drop(*[f"t_{c}" for c in mcols], *[f"s_{c}" for c in mcols])
+
+
 def _union_bounds_and_counts(a: DataFrame, ac, b: DataFrame, bc):
     """Bounds of both sides + row counts in ONE job (union-tagged agg).
     Returns (bounds, n_a, n_b) with bounds = ((lo, hi), … per axis)."""
@@ -175,12 +232,23 @@ def radius_join(
     s_carry: Sequence[str] = (),
     exclude_same_id: bool = False,
     salt_threshold: Optional[int] = 200_000,
+    metric=None,
 ) -> DataFrame:
-    """All (target, source) pairs with euclidean distance ≤ radius.
+    """All (target, source) pairs with distance ≤ radius.
 
     Exact: the ring count covers the ball by construction.  n-D: pass 2- or
-    3-element coordinate tuples.
+    3-element coordinate tuples.  `metric` (per-axis weights or an SPD
+    matrix, see :func:`metric_cholesky`) switches to weighted/anisotropic
+    Euclidean — `radius` and the output `dist` are then in metric units,
+    matching the reference's `MetricBall` (src/interpneighbors.jl:66).
     """
+    if metric is not None:
+        return _metric_join(
+            radius_join, targets, sources, t_coords, s_coords, t_carry, s_carry,
+            metric,
+            dict(radius=radius, t_id=t_id, s_id=s_id,
+                 exclude_same_id=exclude_same_id, salt_threshold=salt_threshold),
+        )
     t = _prefixed(targets, "t_", t_coords, t_id, t_carry)
     s = _prefixed(sources, "s_", s_coords, s_id, s_carry)
     tc = [f"t_{c}" for c in t_coords]
@@ -564,15 +632,12 @@ def _selfjoin_dedup_1nn(
     # re-materializing the whole union (saves a second full-result write).
     # The broadcast / target-scan routes, however, return LAZY plans over
     # `marked`'s lineage — unpersisting before the union would recompute the
-    # coordinate window (ADVICE r2).  Those routes only trigger when the
-    # reduced sides are small (≤ broadcast_threshold unique coordinates or
-    # ≤ finish_threshold singletons), so eagerly checkpointing `inner` there
-    # is a bounded narrow write; one agg on the cached frame decides.
-    sizes = marked.agg(
-        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("u"),
-        F.sum(F.when(F.col("_cnt") == 1, 1).otherwise(0)).alias("s1"),
-    ).first()
-    if (sizes["u"] or 0) <= broadcast_threshold or (sizes["s1"] or 0) <= finish_threshold:
+    # coordinate window (ADVICE r2).  knn_join marks materialized results
+    # (`_gst_materialized`), so the decision follows the actual route taken
+    # instead of re-deriving the routing conditions (ADVICE r3); the lazy
+    # routes only trigger on small reduced sides, so the eager checkpoint
+    # there is a bounded narrow write.
+    if not getattr(inner, "_gst_materialized", False):
         inner = inner.localCheckpoint(eager=True)
     pile_out = pile_out.localCheckpoint(eager=True)
     marked.unpersist()
@@ -597,6 +662,7 @@ def knn_join(
     max_rounds: int = 8,
     broadcast_threshold: int = 20_000,
     finish_threshold: int = 2_000,
+    metric=None,
 ) -> DataFrame:
     """Exact k-nearest-neighbors join (≤ k when fewer sources qualify).
 
@@ -609,6 +675,12 @@ def knn_join(
     3-D ``("x","y","z")``) — the reference is dimension-generic
     (src/utils.jl:6, src/modefilter.jl:22).
 
+    ``metric`` (per-axis weights or an SPD matrix, see
+    :func:`metric_cholesky`) switches the search to weighted/anisotropic
+    Euclidean — the reference's ``InterpolateNeighbors(...; distance)`` /
+    ``MetricBall`` knob (src/interpneighbors.jl:66).  ``max_radius`` and the
+    output ``dist`` are then in metric units.
+
     Physical strategy selection (the engine's §3.1-step-3 dispatch):
     * self-join 1-NN with abundant exact-duplicate coordinates →
       `_selfjoin_dedup_1nn` (UniqueCoords-style compression: coincident
@@ -618,6 +690,16 @@ def knn_join(
     * otherwise → cell-ring candidate join with driver-looped exact
       ring expansion and optional hot-cell salting.
     """
+    if metric is not None:
+        return _metric_join(
+            knn_join, targets, sources, t_coords, s_coords, t_carry, s_carry,
+            metric,
+            dict(k=k, t_id=t_id, s_id=s_id, exclude_same_id=exclude_same_id,
+                 max_radius=max_radius, rows_per_cell=rows_per_cell,
+                 salt_threshold=salt_threshold, max_rounds=max_rounds,
+                 broadcast_threshold=broadcast_threshold,
+                 finish_threshold=finish_threshold),
+        )
     if (
         k == 1
         and exclude_same_id
@@ -843,6 +925,10 @@ def knn_join(
     # they could not be unpersisted before the result is consumed).  The
     # checkpoint also makes repeated downstream consumption cheap.
     out = out.localCheckpoint(eager=True)
+    # signal materialization to wrappers (the dedup fast path keys its own
+    # checkpoint-vs-lazy decision on this instead of re-deriving the route
+    # selection above — ADVICE r3: duplicated routing logic diverges silently)
+    out._gst_materialized = True
     for p in persisted:
         p.unpersist()
     return out

@@ -186,6 +186,10 @@ class InterpolateNeighbors:
     radius: Optional[float] = None  # MetricBall neighborhood
     point: bool = True  # block support when False (see Interpolate)
     prob: bool = False  # kriging variance columns when True
+    # the reference's `distance` knob (src/interpneighbors.jl:66): per-axis
+    # weights or an SPD matrix for a weighted/anisotropic MetricBall —
+    # `radius` is then in metric units (functions.knn.metric_cholesky)
+    metric: Optional[Sequence[float]] = None
 
     def apply(self, gt: GeoTable):
         spark = gt.df.sparkSession
@@ -206,6 +210,7 @@ class InterpolateNeighbors:
             s_coords=tuple(s_coords),
             s_carry=value_cols,
             max_radius=self.radius,
+            metric=self.metric,
         )
         tid = f"t_{gt.row_id}"
         reduced = interpolate_pairs_reduce(

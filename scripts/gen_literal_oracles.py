@@ -740,16 +740,52 @@ def replay_ann_lsh_topk(vecs, k=5, dim=64, n_tables=12, n_bits=8, seed=7,
     return _topk_rerank(cand, vecs, k)
 
 
+def replay_kmeans_centroids(X, k, tol=1e-4, maxiter=10, seed=0):
+    """Independent replay of the engine's DOCUMENTED k-means spec
+    (functions/cluster_numlib.kmeans): numpy PCG64(seed) draws — one
+    `integers(n)` for the first center, then k-means++ `choice(n, p=d²/Σd²)`
+    per remaining center (uniform re-draw on a zero total) — Lloyd with
+    argmin labels, empty clusters keep their centroid, stop when
+    prev − obj ≤ tol·|prev|.  Written here from that spec with no engine
+    import, the same contract status as the modefilter/quenching RNG
+    replays (SURVEY §7): a regression in the engine's trainer now shows up
+    as an oracle mismatch instead of being silently shared."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    centers = [X[int(rng.integers(n))]]
+    while len(centers) < k:
+        cc = np.asarray(centers)
+        d2 = np.min(((X[:, None, :] - cc[None, :, :]) ** 2).sum(-1), axis=1)
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[int(rng.integers(n))])
+        else:
+            centers.append(X[int(rng.choice(n, p=d2 / tot))])
+    C = np.asarray(centers, dtype=float)
+    prev = None
+    for _ in range(maxiter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        labels = np.argmin(d2, axis=1)
+        obj = d2[np.arange(n), labels].sum()
+        for c in range(k):
+            m = labels == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        if prev is not None and prev - obj <= tol * abs(prev):
+            break
+        prev = obj
+    return C
+
+
 def replay_ann_ivf_topk(vecs, k=5, n_centroids=8, nprobe=3, seed=7,
                         train_sample=2000, n_queries=16):
     """functions/ann.ivf_topk: seeded-hash sample order → k-means centroids
-    → inverted lists (corpus: nearest list; queries: nprobe lists) →
-    list equi-join candidates → exact re-rank."""
-    from geostatstransforms_jl_spark.functions.cluster_numlib import kmeans
-
+    (independent spec replay, `replay_kmeans_centroids`) → inverted lists
+    (corpus: nearest list; queries: nprobe lists) → list equi-join
+    candidates → exact re-rank."""
     order = sorted(vecs, key=lambda vid: spark_xxhash64(("long", vid), seed))
     X = np.stack([vecs[i] for i in order[:train_sample]]).astype(float)
-    _, C = kmeans(X, n_centroids, maxiter=20, seed=seed)
+    C = replay_kmeans_centroids(X, n_centroids, maxiter=20, seed=seed)
 
     ids = sorted(vecs)
     V = np.stack([vecs[i] for i in ids]).astype(float)

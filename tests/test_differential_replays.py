@@ -443,3 +443,23 @@ def test_kriging_partial_null_reduced_system(spark):
         pairs, model, ["v"], "t_row_id", prob=True, min_neighbors=5
     ).first()
     assert strict.v is None and strict.v_var is None
+
+
+def test_literal_oracle_independence_boundary():
+    # VERDICT r3 next-round #9: the literal-oracle generator must import
+    # NOTHING from the engine package except the input-DEFINING contract
+    # (core.images synthesizes the image table — it defines the inputs, not
+    # the expected outputs).  Everything else must be an independent replay;
+    # in particular the IVF k-means trainer is a spec replay now, not the
+    # engine function.
+    import re
+
+    src = open("scripts/gen_literal_oracles.py").read()
+    imports = re.findall(
+        r"(?:from|import)\s+(geostatstransforms_jl_spark[\w.]*)", src
+    )
+    assert imports, "expected the input-defining core.images import"
+    allowed = {"geostatstransforms_jl_spark.core.images"}
+    assert set(imports) <= allowed, f"engine imports beyond the contract: {imports}"
+    # the k-means trainer is replayed in-file from its spec now
+    assert "def replay_kmeans_centroids" in src
