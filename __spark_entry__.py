@@ -819,6 +819,29 @@ def q_kball_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metric_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropic kNN (the reference's axis-scaled MetricBall /
+    `InterpolateNeighbors(distance)` knob, src/interpneighbors.jl:66): 3
+    nearest customers under weighted Euclidean d² = 4·Δx² + 0.25·Δy², self
+    excluded.  The engine pre-transforms coordinates by the Cholesky factor
+    (√w = (2.0, 0.5) — exact doubles, so the oracle's brute-force cross
+    join over the SAME transformed coordinates agrees bit-for-bit) and runs
+    the ordinary cell-ladder join in metric space; `dist` is in metric
+    units (functions/knn.py:metric_cholesky,_metric_join)."""
+    from geostatstransforms_jl_spark.functions.knn import knn_join
+
+    pts = _customer_points(spark, sf_dir)
+    out = knn_join(
+        pts, pts.select("*"), k=3, metric=(4.0, 0.25),
+        exclude_same_id=True, broadcast_threshold=0,
+    )
+    return out.select(
+        F.col("t_row_id").alias("t"),
+        F.col("s_row_id").alias("s"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -875,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_pairs": q_radius_pairs,
         "radius3d_pairs": q_radius3d_pairs,
         "kball_neighbors": q_kball_neighbors,
+        "metric_knn": q_metric_knn,
     }
 
 
@@ -1532,6 +1556,27 @@ def _oracle_sql_base() -> dict[str, str]:
                 ON a.row_id <> b.row_id
                AND sqrt((a.x - b.x) * (a.x - b.x)
                       + (a.y - b.y) * (a.y - b.y)) <= 3.0
+            ),
+            r AS (
+              SELECT t, s, rawd,
+                     ROW_NUMBER() OVER (PARTITION BY t ORDER BY rawd, s) AS rk
+              FROM d
+            )
+            SELECT t, s, ROUND(rawd, 6) AS dist FROM r WHERE rk <= 3
+        """,
+        # anisotropic kNN: brute force over the SAME Cholesky-transformed
+        # coordinates the engine uses (x*2.0, y*0.5 — exact doubles), same
+        # left-associated sum as _dist_expr, same (dist, s_id) tie-break
+        "metric_knn": f"""
+            WITH p0 AS ({_CUST_PTS}),
+            p AS (
+              SELECT row_id, x * 2.0 AS mx, y * 0.5 AS my FROM p0
+            ),
+            d AS (
+              SELECT a.row_id AS t, b.row_id AS s,
+                     sqrt((a.mx - b.mx) * (a.mx - b.mx)
+                        + (a.my - b.my) * (a.my - b.my)) AS rawd
+              FROM p a JOIN p b ON a.row_id <> b.row_id
             ),
             r AS (
               SELECT t, s, rawd,
