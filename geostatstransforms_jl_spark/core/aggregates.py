@@ -239,10 +239,17 @@ def dict_encode_strings(
 
 
 def dict_decode(out: DataFrame, decode: Mapping[str, Column]) -> DataFrame:
-    """Invert :func:`dict_encode_strings` on the aggregated output (NULL codes
-    decode to NULL — ``element_at`` is null-safe on a null index + 1)."""
+    """Invert :func:`dict_encode_strings` on the aggregated output.
+
+    NULL codes (all-NULL groups) need an explicit guard: on this Spark build
+    (4.x, ANSI on) ``element_at(arr, NULL)`` is NOT null-safe — it returns the
+    LAST array element (and aborts with INVALID_ARRAY_INDEX_IN_ELEMENT_AT when
+    the dictionary is empty, i.e. an all-NULL input column), measured
+    empirically.  The ``when`` guard decodes NULL → NULL like the sort path.
+    """
     for c, arr in decode.items():
-        out = out.withColumn(c, F.element_at(arr, F.col(c) + 1))
+        idx = F.col(c) + 1
+        out = out.withColumn(c, F.when(idx.isNotNull(), F.element_at(arr, idx)))
     return out
 
 

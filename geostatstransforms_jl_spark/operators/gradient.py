@@ -41,7 +41,11 @@ KERNELS = {
     "sobel": ((-0.5, 0.0, 0.5), (0.25, 0.5, 0.25)),
     "prewitt": ((-0.5, 0.0, 0.5), (1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0)),
     "scharr": ((-0.5, 0.0, 0.5), (3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0)),
-    "ando3": ((-0.5, 0.0, 0.5), (0.112737, 0.774526, 0.112737)),
+    # Ando's consistent 3×3 (Ando 2000): published column (0.112737,
+    # 0.274526, 0.112737) sums to 0.5; under this file's deriv=±0.5 +
+    # smooth-sums-to-1 convention both entries scale by 2 so the full
+    # 3×3 reproduces the published operator exactly
+    "ando3": ((-0.5, 0.0, 0.5), (0.225474, 0.549052, 0.225474)),
     "central": ((-0.5, 0.0, 0.5), (0.0, 1.0, 0.0)),
 }
 

@@ -28,10 +28,16 @@ from ..functions.knn import knn_join
 from ..functions.models import IDW, NN, Kriging, kriging_reduce
 
 
-def _target_df(spark, tgt, row_id="row_id"):
+def _target_df(spark, tgt, row_id="row_id", ndim=None):
     """Normalize a target domain (GridMeta | GeoTable | DataFrame) to a point
     DataFrame plus the output GeoTable domain and its coordinate columns —
-    dimension-generic like the reference (src/interpolate.jl:35-58)."""
+    dimension-generic like the reference (src/interpolate.jl:35-58).
+
+    ``ndim`` (the SAMPLE dimensionality) disambiguates plain-DataFrame
+    targets: the coordinates are the first ``ndim`` canonical axis names
+    (x, y, z), so a 2-D interpolation whose target happens to carry a
+    non-coordinate ``z`` value column keeps interpolating over (x, y)
+    instead of mistaking ``z`` for a third coordinate."""
     if isinstance(tgt, GridMeta):
         cells = full_grid(spark, tgt)
         tdf = cells.select(
@@ -49,9 +55,21 @@ def _target_df(spark, tgt, row_id="row_id"):
             else ("x", "y")
         )
         return tgt.df, tgt.domain, coords
-    # plain DataFrame: every non-id column named like a coordinate axis
+    # plain DataFrame: the first `ndim` canonical axis names are the
+    # coordinates (sample arity decides; a trailing `z` VALUE column on a
+    # 2-D problem is not a coordinate)
     axes = [c for c in ("x", "y", "z") if c in tgt.columns]
-    coords = tuple(axes) if axes else ("x", "y")
+    if ndim is not None:
+        wanted = ("x", "y", "z")[:ndim]
+        missing = [c for c in wanted if c not in tgt.columns]
+        if missing:
+            raise ValueError(
+                f"target DataFrame lacks coordinate column(s) {missing} for a "
+                f"{ndim}-D interpolation (columns: {tgt.columns})"
+            )
+        coords = wanted
+    else:
+        coords = tuple(axes) if axes else ("x", "y")
     return tgt, PointDomain(coords), coords
 
 
@@ -138,7 +156,7 @@ class Interpolate:
     def apply(self, gt: GeoTable):
         spark = gt.df.sparkSession
         sdf, s_coords = _samples(gt)
-        tdf, tdomain, t_coords = _target_df(spark, self.target, gt.row_id)
+        tdf, tdomain, t_coords = _target_df(spark, self.target, gt.row_id, ndim=len(s_coords))
         assert len(t_coords) == len(s_coords), (
             f"target is {len(t_coords)}-D but samples are {len(s_coords)}-D"
         )
@@ -194,7 +212,7 @@ class InterpolateNeighbors:
     def apply(self, gt: GeoTable):
         spark = gt.df.sparkSession
         sdf, s_coords = _samples(gt)
-        tdf, tdomain, t_coords = _target_df(spark, self.target, gt.row_id)
+        tdf, tdomain, t_coords = _target_df(spark, self.target, gt.row_id, ndim=len(s_coords))
         assert len(t_coords) == len(s_coords), (
             f"target is {len(t_coords)}-D but samples are {len(s_coords)}-D"
         )

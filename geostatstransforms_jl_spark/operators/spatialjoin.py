@@ -133,6 +133,15 @@ def pip_join(
         F.size(flat).alias("_nv"),
     )
     if broadcast_geoms is None:
+        # the estimate's .first() materializes the full bbox pipeline
+        # (flatten + per-vertex min/max over every ring) — persist so the
+        # join's gcells reuses it instead of re-scanning the vertex arrays
+        # (round-4 review).  bbox is geom_id + 4 ints + a count per polygon
+        # (tens of bytes), so the cache is tiny relative to the geometry
+        # table and is evicted LRU once the query completes.
+        from pyspark import StorageLevel
+
+        bbox = bbox.persist(StorageLevel.MEMORY_AND_DISK)
         est = bbox.agg(
             F.sum(
                 F.greatest(F.lit(0).cast("long"), (F.col("i_hi") - F.col("i_lo") + 1).cast("long"))
@@ -157,6 +166,12 @@ def pip_join(
 
     if broadcast_geoms:
         gcells = F.broadcast(gcells)
+    else:
+        # pin the decision: with bbox cached, Catalyst sees exact (tiny)
+        # stats for the PRE-explode relation and would happily auto-broadcast
+        # the exploded gcells — the very driver-OOM hazard the exploded-volume
+        # estimate exists to veto
+        gcells = gcells.hint("shuffle_hash")
 
     pcells = points.select(
         point_id,
@@ -174,6 +189,8 @@ def pip_join(
     edges = _edges_df(geoms, geom_id)
     if broadcast_geoms:
         edges = F.broadcast(edges)
+    else:
+        edges = edges.hint("shuffle_hash")
 
     # ray toward +x; crossing x = ax + (py-ay)(bx-ax)/(by-ay)
     crossing = (

@@ -192,6 +192,37 @@ def test_upscale_string_column_stays_hash_aggregate(spark):
     assert got == want
 
 
+def test_upscale_dict_encode_null_groups(spark):
+    # regression (round-4 review): on Spark 4.x with ANSI on,
+    # element_at(arr, NULL) returns the LAST array element rather than NULL,
+    # so all-NULL blocks decoded to an arbitrary dictionary value (and an
+    # all-NULL column crashed with INVALID_ARRAY_INDEX_IN_ELEMENT_AT on the
+    # empty dictionary).  dict_decode now null-guards the index; both cases
+    # must match the undictionarified sort path (NULL stays NULL).
+    from geostatstransforms_jl_spark.operators.upscale import upscale_df
+
+    rows = []
+    rid = 0
+    for i in range(4):
+        for j in range(4):
+            tag = "t1" if i < 2 else None
+            rows.append((rid, i, j, float(i + j), tag))
+            rid += 1
+    df = spark.createDataFrame(rows, "row_id long, i int, j int, v double, tag string")
+    got = sorted(
+        (r.i, r.j, r.tag) for r in upscale_df(df, 2, 2, dict_encode=True).collect()
+    )
+    want = sorted(
+        (r.i, r.j, r.tag) for r in upscale_df(df, 2, 2, dict_encode=False).collect()
+    )
+    assert got == want
+    assert (1, 0, None) in got and (1, 1, None) in got
+    # all-NULL string column: empty dictionary must not crash, NULL everywhere
+    df_null = df.withColumn("tag", F.lit(None).cast("string"))
+    out = upscale_df(df_null, 2, 2, dict_encode=True).collect()
+    assert len(out) == 4 and all(r.tag is None for r in out)
+
+
 def test_aggregate_general_path_string_hash_aggregate(spark):
     # same guarantee for the Aggregate general (kNN-assign) path: the
     # grouped aggregate over string `first` stays hash-based and the kNN

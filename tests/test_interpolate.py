@@ -120,6 +120,34 @@ def _kept(df):
     return [r.a for r in df.orderBy("row_id").collect()]
 
 
+def test_target_df_z_value_column_not_coordinate(spark):
+    # round-4 review regression: a plain target DataFrame carrying a
+    # non-coordinate `z` VALUE column (this repo's own fixtures name the
+    # sample value `z`) must keep interpolating over (x, y) when the
+    # samples are 2-D — sample arity decides the coordinate set, so the
+    # spurious third axis is neither consumed as a coordinate nor does the
+    # arity assert fire.
+    samples = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1.0), (1, 10.0, 0.0, 3.0)],
+        "row_id long, x double, y double, v double",
+    )
+    tgt = spark.createDataFrame(
+        [(0, 2.0, 0.0, 99.0)], "row_id long, x double, y double, z double"
+    )
+    out, _ = InterpolateNeighbors(tgt, model=NN(), maxneighbors=1).apply(
+        georef_points(samples)
+    )
+    r = out.df.collect()[0]
+    assert r.v == 1.0  # nearest sample in (x, y) only
+    assert r.z == 99.0  # carried through untouched
+    # a 2-D target genuinely missing a coordinate still fails loudly
+    bad = spark.createDataFrame([(0, 2.0)], "row_id long, x double")
+    with pytest.raises(ValueError, match="lacks coordinate column"):
+        InterpolateNeighbors(bad, model=NN(), maxneighbors=1).apply(
+            georef_points(samples)
+        )
+
+
 def test_droplocal_basic(spark):
     gt = georef_points(_pts_1d(spark, [1.0, 2.0, 3.0, 100.0, 5.0]))
     out, _ = DropLocalLowHigh(1.0).apply(gt)

@@ -84,6 +84,9 @@ def test_gradient_kernel_registry_closed_form():
         "sobel": (0.5 * 0.25, 0.5 * 0.5),
         "prewitt": (0.5 / 3.0, 0.5 / 3.0),
         "scharr": (0.5 * 3.0 / 16.0, 0.5 * 10.0 / 16.0),
+        # Ando 2000 consistent 3×3: the pinned values ARE the published
+        # kernel entries (0.5 × the sum-to-1 smoothing factors)
+        "ando3": (0.112737, 0.274526),
         "central": (0.0, 0.5),
     }
     for kern, (edge, mid) in pins.items():
