@@ -212,6 +212,24 @@ def q_slic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slic_df(pts, k=8, m=1.0).select("row_id", "label")
 
 
+def q_slic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIC through the round-4 cell-ring assignment path
+    (clustering/slic.py:assign_via_cells — candidates from radius_join with
+    ball radius s_max instead of the broadcast cross join; label-identical
+    by contract, O(points-per-ball·k) candidate volume at superpixel-scale
+    k).  Shares slic_clusters' literal oracle."""
+    from geostatstransforms_jl_spark.clustering import slic_df
+
+    pts = _customer_points(spark, sf_dir).join(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("row_id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ),
+        "row_id",
+    )
+    return slic_df(pts, k=8, m=1.0, assign_via_cells=True).select("row_id", "label")
+
+
 def q_ghc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.clustering import ghc_df
 
@@ -861,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_points": q_rasterize_points,
         "interp_neighbors_idw": q_interp_neighbors_idw,
         "slic_clusters": q_slic,
+        "slic_cells": q_slic_cells,
         "ghc_clusters": q_ghc,
         "gsc_clusters": q_gsc,
         "dedup_exact": q_dedup_exact,
@@ -959,6 +978,10 @@ def oracle_sql() -> dict[str, str]:
         from oracle_literals_sf001 import LITERAL_ORACLES
 
         out.update(LITERAL_ORACLES)
+        # slic_cells runs the SAME SLIC spec through the cell-ring assignment
+        # path (assign_via_cells=True) — labels are contractually identical to
+        # the broadcast path, so it shares the slic_clusters literal oracle
+        out["slic_cells"] = LITERAL_ORACLES["slic_clusters"]
     except ImportError:
         pass
     return out
