@@ -252,7 +252,7 @@ class Gradient:
     __call__ = apply
 
 
-def gradient_packed(images: DataFrame, stats: bool = True, carry=()) -> DataFrame:
+def gradient_packed(images: DataFrame, stats: bool = True, carry=(), kern="sobel") -> DataFrame:
     """Packed image-table fast path: (image_id, bytes, w, h, fmt) →
     per-image gradient summary (mean |∇|, max |∇|) without exploding pixels.
     One narrow mapInPandas pass — the plan a 10¹²-row table needs.
@@ -266,6 +266,7 @@ def gradient_packed(images: DataFrame, stats: bool = True, carry=()) -> DataFram
     from ..core.png import decode_image
 
     carry = [c for c in carry if c != "image_id"]
+    kern = _resolve_kern(kern)  # resolve once, driver-side; ships as a tuple
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -274,7 +275,7 @@ def gradient_packed(images: DataFrame, stats: bool = True, carry=()) -> DataFram
                 pix = decode_image(r.bytes, r.fmt).astype(np.float64)
                 if pix.ndim == 3:
                     pix = pix.mean(axis=2)
-                g0, g1 = sobel_tile(pix.T)  # [i, j] layout
+                g0, g1 = sobel_tile(pix.T, kern)  # [i, j] layout
                 mag = np.hypot(g0, g1)
                 row = {
                     "image_id": r.image_id,

@@ -62,6 +62,21 @@ def test_synthetic_images_spark(spark):
     assert bytes(r7.bytes) == data
 
 
+def test_gradient_packed_kern_knob(spark):
+    # the packed image fast path honors the reference's `kern` knob
+    # (src/gradient.jl:24) like the grid operator: prewitt and sobel give
+    # different magnitudes on a non-trivial image, and sobel stays the
+    # default; an explicit sobel matches the default bit-for-bit
+    from geostatstransforms_jl_spark.operators.gradient import gradient_packed
+
+    imgs = synthetic_images(spark, 5, partitions=2)
+    base = {r.image_id: (r.grad_mean, r.grad_max) for r in gradient_packed(imgs).collect()}
+    sob = {r.image_id: (r.grad_mean, r.grad_max) for r in gradient_packed(imgs, kern="sobel").collect()}
+    pre = {r.image_id: (r.grad_mean, r.grad_max) for r in gradient_packed(imgs, kern="prewitt").collect()}
+    assert base == sob
+    assert set(pre) == set(base) and pre != base
+
+
 def test_images_to_long(spark):
     df = synthetic_images(spark, 3, partitions=1)
     long = images_to_long(df)
