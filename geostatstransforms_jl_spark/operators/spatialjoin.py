@@ -170,7 +170,11 @@ def pip_join(
         # pin the decision: with bbox cached, Catalyst sees exact (tiny)
         # stats for the PRE-explode relation and would happily auto-broadcast
         # the exploded gcells — the very driver-OOM hazard the exploded-volume
-        # estimate exists to veto
+        # estimate exists to veto.  shuffle_hash (not merge): the points side
+        # is the huge one and SHJ never sorts it; the per-partition hash is
+        # built over gcells/edges, whose per-partition share (total / shuffle
+        # partitions) is executor-memory-sized exactly because the broadcast
+        # veto fired on the TOTAL.
         gcells = gcells.hint("shuffle_hash")
 
     pcells = points.select(
