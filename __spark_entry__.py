@@ -860,6 +860,26 @@ def q_metric_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metric_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropic ball query (MetricBall with per-axis weights,
+    src/interpneighbors.jl:66): all customer pairs with weighted distance
+    sqrt(4·Δx² + 0.25·Δy²) ≤ 5.0, self excluded.  Same exact-double
+    Cholesky pre-transform contract as `metric_knn`
+    (functions/knn.py:radius_join metric path)."""
+    from geostatstransforms_jl_spark.functions.knn import radius_join
+
+    pts = _customer_points(spark, sf_dir)
+    out = radius_join(
+        pts, pts.select("*"), radius=5.0, metric=(4.0, 0.25),
+        exclude_same_id=True,
+    )
+    return out.select(
+        F.col("t_row_id").alias("t"),
+        F.col("s_row_id").alias("s"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: UniqueCoords dedup over lineitem points at sf0.001."""
     return q_uniquecoords(spark, "/root/testdata/sf0.001")
@@ -918,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius3d_pairs": q_radius3d_pairs,
         "kball_neighbors": q_kball_neighbors,
         "metric_knn": q_metric_knn,
+        "metric_radius": q_metric_radius,
     }
 
 
@@ -1607,6 +1628,22 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM d
             )
             SELECT t, s, ROUND(rawd, 6) AS dist FROM r WHERE rk <= 3
+        """,
+        # anisotropic ball query: brute force over the same exact-double
+        # transformed coordinates; same left-associated sum as _dist_expr
+        "metric_radius": f"""
+            WITH p0 AS ({_CUST_PTS}),
+            p AS (
+              SELECT row_id, x * 2.0 AS mx, y * 0.5 AS my FROM p0
+            )
+            SELECT a.row_id AS t,
+                   b.row_id AS s,
+                   ROUND(sqrt((a.mx - b.mx) * (a.mx - b.mx)
+                            + (a.my - b.my) * (a.my - b.my)), 6) AS dist
+            FROM p a JOIN p b
+              ON a.row_id <> b.row_id
+             AND sqrt((a.mx - b.mx) * (a.mx - b.mx)
+                    + (a.my - b.my) * (a.my - b.my)) <= 5.0
         """,
     }
 
