@@ -346,6 +346,54 @@ def q_image_potrace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "m", F.size("polys").alias("n_polys"))
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear image resize (half-pixel-center spec, core/media.py): packed
+    synthetic table → resize to 20×14 → per-image pixel mean via the long
+    form + a Catalyst hash aggregate.  Oracle: literal table from an
+    independent meshgrid-gather bilinear replay
+    (scripts/gen_literal_oracles.py:replay_image_resize)."""
+    from geostatstransforms_jl_spark.core.images import synthetic_images, images_to_long
+    from geostatstransforms_jl_spark.core.media import resize_images
+
+    images = synthetic_images(spark, 120, partitions=8)
+    resized = resize_images(images, out_w=20, out_h=14, method="bilinear")
+    return (
+        images_to_long(resized)
+        .groupBy("image_id")
+        .agg(F.round(F.avg("z"), 6).alias("mean_z"))
+    )
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (core/media.py:sample_frames): every 3rd frame
+    of 50 synthetic gsv1 containers, seek-skipping unsampled frames.  Oracle:
+    literal table of per-sampled-frame means recomputed independently of the
+    container parse (gen_literal_oracles.py:replay_video_frame_sample)."""
+    from geostatstransforms_jl_spark.core.media import synthetic_videos, sample_frames
+
+    videos = synthetic_videos(spark, 50, partitions=8)
+    out = sample_frames(videos, every=3)
+    return out.select(
+        "video_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean")
+    )
+
+
+def q_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features (core/media.py:audio_features): 512-sample
+    RMS/peak over 80 synthetic pcm16 clips.  Oracle: literal table from an
+    independent windowing replay (gen_literal_oracles.py:replay_audio_rms)."""
+    from geostatstransforms_jl_spark.core.media import synthetic_audio, audio_features
+
+    audio = synthetic_audio(spark, 80, partitions=8)
+    out = audio_features(audio, window=512)
+    return out.select(
+        "audio_id",
+        "win_idx",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
 def q_potrace_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Potrace involution (reference src/potrace.jl:133-136,
     test/potrace.jl:14-21): raster → traced polygons → revert (= Rasterize
@@ -912,6 +960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_gradient": q_image_gradient,
         "image_potrace": q_image_potrace,
+        "image_resize": q_image_resize,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_rms": q_audio_rms,
         "potrace_roundtrip": q_potrace_roundtrip,
         "detrend": q_detrend,
         "nn_interpolate": q_nn_interpolate,

@@ -384,6 +384,97 @@ def replay_image_gradient(n=200, seed=42):
     return out
 
 
+def _bilinear_replay(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Independent half-pixel-center bilinear (the documented exact-integer
+    spec in core/media.py:_resize_plane): scalar Python-int 4-term gather
+    per destination pixel, not the engine's vectorized separable np.ix_
+    row/col split.  The spec's source center for destination d is the exact
+    rational ((2d+1)*in - out) / (2*out); blend weights are the scaled
+    fractional parts and the blend rounds half up — all in arbitrary-
+    precision ints, so both formulations are bit-identical by construction."""
+    in_h, in_w = a.shape
+    dy2, dx2 = 2 * out_h, 2 * out_w
+    den = dx2 * dy2
+    out = np.empty((out_h, out_w), dtype=np.uint8)
+    for dy in range(out_h):
+        ny = (2 * dy + 1) * in_h - out_h
+        y0 = min(max(ny // dy2, 0), in_h - 1)
+        y1 = min(y0 + 1, in_h - 1)
+        wy = min(max(ny - y0 * dy2, 0), dy2)
+        for dx in range(out_w):
+            nx = (2 * dx + 1) * in_w - out_w
+            x0 = min(max(nx // dx2, 0), in_w - 1)
+            x1 = min(x0 + 1, in_w - 1)
+            wx = min(max(nx - x0 * dx2, 0), dx2)
+            n = (
+                int(a[y0, x0]) * (dx2 - wx) * (dy2 - wy)
+                + int(a[y0, x1]) * wx * (dy2 - wy)
+                + int(a[y1, x0]) * (dx2 - wx) * wy
+                + int(a[y1, x1]) * wx * wy
+            )
+            out[dy, dx] = (2 * n + den) // (2 * den)
+    return out
+
+
+def replay_image_resize(n=120, seed=42, out_w=20, out_h=14):
+    """Per-image mean of the bilinear-resized pixels.  `make_image`
+    reconstructs the INPUT pixels (input-defining contract, like
+    replay_image_gradient); the jpeg stub's documented quantization applies;
+    the resize itself is `_bilinear_replay`, independent of core/media.py."""
+    from geostatstransforms_jl_spark.core.images import make_image
+
+    out = []
+    for i in range(n):
+        pix, w, h, fmt, _, _, _ = make_image(i, seed)
+        if fmt == "jpeg":
+            pix = (pix & 0xFC) | 0x02
+        res = _bilinear_replay(pix, out_h, out_w)
+        out.append((f"img{i:08d}", float(res.astype(np.float64).mean())))
+    return out
+
+
+def replay_video_frame_sample(n=50, every=3, seed=42):
+    """Sampled-frame means.  `make_video` reconstructs the INPUT frames
+    (input-defining contract); sampling indices and means are recomputed
+    here, independent of core/media.py's container parse + seek path — a
+    container/codec bug on the engine side flips a mean."""
+    from geostatstransforms_jl_spark.core.media import make_video
+
+    out = []
+    for i in range(n):
+        frames, w, h, _, _ = make_video(i, seed)
+        for idx in range(0, len(frames), every):
+            out.append(
+                (f"vid{i:08d}", idx, float(frames[idx].astype(np.float64).mean()))
+            )
+    return out
+
+
+def replay_audio_rms(n=80, window=512, seed=42):
+    """Windowed RMS/peak over raw int16 amplitudes.  `make_audio`
+    reconstructs the INPUT samples (input-defining contract); windowing and
+    the features are recomputed here independent of core/media.py's
+    frombuffer decode + reshape path."""
+    from geostatstransforms_jl_spark.core.media import make_audio
+
+    out = []
+    for i in range(n):
+        pcm, _, _ = make_audio(i, seed)
+        x = pcm.astype(np.float64)
+        nwin = len(x) // window
+        for wi in range(nwin):
+            seg = x[wi * window : (wi + 1) * window]
+            out.append(
+                (
+                    f"aud{i:08d}",
+                    wi,
+                    float(np.sqrt(np.mean(np.square(seg)))),
+                    float(np.max(np.abs(seg))),
+                )
+            )
+    return out
+
+
 # ---- clustering replays ----------------------------------------------------
 #
 # SLIC / GHC / GSC are deterministic end-to-end (no RNG except GSC's seeded
@@ -981,6 +1072,29 @@ def main():
         + ")"
     )
 
+    rz = replay_image_resize(120, seed=42, out_w=20, out_h=14)
+    rz_sql = (
+        "SELECT col0 AS image_id, col1::DOUBLE AS mean_z FROM (VALUES "
+        + ", ".join(f"({q(i)}, {round6(m)})" for i, m in rz)
+        + ")"
+    )
+
+    vf = replay_video_frame_sample(50, every=3, seed=42)
+    vf_sql = (
+        "SELECT col0 AS video_id, col1::INT AS frame_idx, "
+        "col2::DOUBLE AS frame_mean FROM (VALUES "
+        + ", ".join(f"({q(v)}, {i}, {round6(m)})" for v, i, m in vf)
+        + ")"
+    )
+
+    au = replay_audio_rms(80, window=512, seed=42)
+    au_sql = (
+        "SELECT col0 AS audio_id, col1::INT AS win_idx, col2::DOUBLE AS rms, "
+        "col3::DOUBLE AS peak FROM (VALUES "
+        + ", ".join(f"({q(a)}, {w}, {round6(r)}, {round6(p)})" for a, w, r, p in au)
+        + ")"
+    )
+
     body = (
         '"""Literal-table DuckDB oracles for the deterministic non-SQL queries,\n'
         "generated by scripts/gen_literal_oracles.py from INDEPENDENT numpy\n"
@@ -1001,6 +1115,9 @@ def main():
         f'    "slic_clusters": """{sl_sql}""",\n'
         f'    "ghc_clusters": """{gh_sql}""",\n'
         f'    "gsc_clusters": """{gs_sql}""",\n'
+        f'    "image_resize": """{rz_sql}""",\n'
+        f'    "video_frame_sample": """{vf_sql}""",\n'
+        f'    "audio_rms": """{au_sql}""",\n'
         "}\n"
     )
     with open(OUT, "w") as f:
@@ -1009,7 +1126,8 @@ def main():
           f"quenching={len(qu)} kriging={len(kr)} fingerprint={len(fp)} "
           f"simhash_pairs={len(sp)} minhash_survivors={len(survivors)} "
           f"image_gradient={len(ig)} ann_lsh={len(lsh)} ann_ivf={len(ivf)} potrace={len(pot)} "
-          f"slic={len(sl)} ghc={len(gh)} gsc={len(gs)}")
+          f"slic={len(sl)} ghc={len(gh)} gsc={len(gs)} "
+          f"resize={len(rz)} video={len(vf)} audio={len(au)}")
 
 
 if __name__ == "__main__":

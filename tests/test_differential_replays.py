@@ -448,10 +448,11 @@ def test_kriging_partial_null_reduced_system(spark):
 def test_literal_oracle_independence_boundary():
     # VERDICT r3 next-round #9: the literal-oracle generator must import
     # NOTHING from the engine package except the input-DEFINING contract
-    # (core.images synthesizes the image table — it defines the inputs, not
-    # the expected outputs).  Everything else must be an independent replay;
-    # in particular the IVF k-means trainer is a spec replay now, not the
-    # engine function.
+    # (core.images / core.media synthesize the image/video/audio tables —
+    # they define the inputs, not the expected outputs; only the pure
+    # make_* generators may be pulled from core.media).  Everything else
+    # must be an independent replay; in particular the IVF k-means trainer
+    # is a spec replay now, not the engine function.
     import re
 
     src = open("scripts/gen_literal_oracles.py").read()
@@ -459,7 +460,17 @@ def test_literal_oracle_independence_boundary():
         r"(?:from|import)\s+(geostatstransforms_jl_spark[\w.]*)", src
     )
     assert imports, "expected the input-defining core.images import"
-    allowed = {"geostatstransforms_jl_spark.core.images"}
+    allowed = {
+        "geostatstransforms_jl_spark.core.images",
+        "geostatstransforms_jl_spark.core.media",
+    }
+    # from core.media only the input-defining pure generators, never the
+    # operator/resize/feature code whose outputs the oracles check
+    for m in re.finditer(
+        r"from\s+geostatstransforms_jl_spark\.core\.media\s+import\s+([\w, ]+)", src
+    ):
+        names = {n.strip() for n in m.group(1).split(",")}
+        assert names <= {"make_video", "make_audio"}, names
     assert set(imports) <= allowed, f"engine imports beyond the contract: {imports}"
     # the k-means trainer is replayed in-file from its spec now
     assert "def replay_kmeans_centroids" in src

@@ -1,0 +1,192 @@
+"""Multimodal media ops (core/media.py): video frame sampling, audio
+windowed features, image resize — the pipeline extras beyond reference
+parity (GeoStatsTransforms.jl has no media ops).
+
+Every Spark-side test checks the *plumbing* contract the 100-TB design
+depends on: schema, multi-partition batching, zero-explosion output shape —
+plus exact pixel/sample math against closed forms or the pure generator
+functions."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geostatstransforms_jl_spark.core.media import (
+    audio_features,
+    make_audio,
+    make_video,
+    resize_images,
+    resize_plane,
+    sample_frames,
+    synthetic_audio,
+    synthetic_videos,
+    unpack_video,
+)
+from geostatstransforms_jl_spark.core.images import synthetic_images
+from geostatstransforms_jl_spark.core.png import decode_image
+
+
+# ---- video ------------------------------------------------------------------
+
+
+def test_video_container_roundtrip():
+    frames, w, h, fps, data = make_video(7)
+    dec = unpack_video(data)
+    assert len(dec) == len(frames)
+    for (idx, pix), f in zip(dec, frames):
+        assert pix.shape == (h, w)
+        assert np.array_equal(pix, f)
+    # selective decode returns exactly the requested frames, bit-exact
+    sel = unpack_video(data, indices=[1, 3])
+    assert [i for i, _ in sel] == [1, 3]
+    assert np.array_equal(sel[0][1], frames[1])
+
+
+def test_video_codec_stub():
+    with pytest.raises(NotImplementedError, match="mp4"):
+        unpack_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+
+
+def test_sample_frames_spark(spark):
+    vids = synthetic_videos(spark, 12, partitions=3)
+    out = sample_frames(vids, every=3).orderBy("video_id", "frame_idx").collect()
+    # exact sampled index set and per-frame means vs the pure function
+    expected = []
+    for n in range(12):
+        frames, w, h, _, _ = make_video(n)
+        for i in range(0, len(frames), 3):
+            expected.append(
+                (f"vid{n:08d}", i, w, h, float(frames[i].astype(np.float64).mean()))
+            )
+    got = [(r.video_id, r.frame_idx, r.w, r.h, r.frame_mean) for r in out]
+    assert got == sorted(expected)
+    # sampled frames re-encode as standalone PNGs decodable bit-exact
+    r0 = out[0]
+    frames0 = make_video(0)[0]
+    assert np.array_equal(decode_image(bytes(r0.bytes), "png"), frames0[0])
+
+
+def test_sample_frames_offset_and_validation(spark):
+    vids = synthetic_videos(spark, 3, partitions=1)
+    out = sample_frames(vids, every=2, offset=1).collect()
+    for r in out:
+        assert r.frame_idx % 2 == 1
+    with pytest.raises(ValueError):
+        sample_frames(vids, every=0)
+
+
+def test_sample_frames_stub_fmt(spark):
+    vids = synthetic_videos(spark, 2, partitions=1).withColumn("fmt", F.lit("mp4"))
+    with pytest.raises(Exception, match="documented stub"):
+        sample_frames(vids).collect()
+
+
+# ---- audio ------------------------------------------------------------------
+
+
+def test_audio_features_spark(spark):
+    aud = synthetic_audio(spark, 10, partitions=3)
+    out = audio_features(aud, window=512).orderBy("audio_id", "win_idx").collect()
+    expected = []
+    for n in range(10):
+        pcm, _, _ = make_audio(n)
+        x = pcm.astype(np.float64)
+        nwin = len(x) // 512
+        wins = x[: nwin * 512].reshape(nwin, 512)
+        for i in range(nwin):
+            expected.append(
+                (
+                    f"aud{n:08d}",
+                    i,
+                    float(np.sqrt((wins[i] ** 2).mean())),
+                    float(np.abs(wins[i]).max()),
+                )
+            )
+    got = [(r.audio_id, r.win_idx, r.rms, r.peak) for r in out]
+    assert got == sorted(expected)
+
+
+def test_audio_rms_closed_form(spark):
+    # constant amplitude A in a window → rms == A, peak == A
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "audio_id": ["c"],
+            "bytes": [np.full(256, 1000, dtype="<i2").tobytes()],
+            "sr": [8000],
+            "n_samples": [256],
+            "fmt": ["pcm16"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = audio_features(df, window=128).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.rms == pytest.approx(1000.0) and r.peak == 1000.0
+
+
+def test_audio_partial_window_dropped_and_stub(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "audio_id": ["p"],
+            "bytes": [np.arange(300, dtype="<i2").tobytes()],
+            "sr": [8000],
+            "n_samples": [300],
+            "fmt": ["pcm16"],
+        }
+    )
+    rows = audio_features(spark.createDataFrame(pdf), window=256).collect()
+    assert [r.win_idx for r in rows] == [0]  # trailing 44 samples dropped
+    bad = spark.createDataFrame(pdf).withColumn("fmt", F.lit("mp3"))
+    with pytest.raises(Exception, match="documented stub"):
+        audio_features(bad).collect()
+
+
+# ---- resize -----------------------------------------------------------------
+
+
+def test_resize_plane_nearest_exact():
+    a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    # integer 2x upscale with half-pixel centers == pixel replication
+    assert np.array_equal(resize_plane(a, 6, 8, "nearest"), np.repeat(np.repeat(a, 2, 0), 2, 1))
+    # identity at same size, both methods
+    assert np.array_equal(resize_plane(a, 3, 4, "nearest"), a)
+    assert np.array_equal(resize_plane(a, 3, 4, "bilinear"), a)
+
+
+def test_resize_plane_bilinear_closed_form():
+    # linear ramp along x, slope s: 2x downsample centers land at
+    # src x = 2d + 0.5 → value 2sd + s/2 exactly (before rounding)
+    s = 8
+    r = (s * np.arange(16, dtype=np.float64))[None, :].repeat(4, 0).astype(np.uint8)
+    dn = resize_plane(r, 4, 8, "bilinear")
+    exp = np.rint(2.0 * s * np.arange(8) + 0.5 * s).astype(np.uint8)
+    assert np.array_equal(dn, np.tile(exp, (4, 1)))
+
+
+def test_resize_images_spark(spark):
+    imgs = synthetic_images(spark, 9, partitions=3)
+    out = resize_images(imgs, 20, 14, "bilinear")
+    rows = {r.image_id: r for r in out.collect()}
+    assert len(rows) == 9
+    src = {r.image_id: r for r in imgs.collect()}
+    from geostatstransforms_jl_spark.core.media import resize_plane as rp
+
+    for iid, r in rows.items():
+        assert (r.w, r.h, r.fmt) == (20, 14, "png")
+        assert r.caption == src[iid].caption and r.phash == src[iid].phash
+        # stored pixels == spec resize of the stored (possibly jpeg-quantized)
+        # source pixels, roundtripped losslessly through the PNG codec
+        exp = rp(decode_image(bytes(src[iid].bytes), src[iid].fmt), 14, 20, "bilinear")
+        assert np.array_equal(decode_image(bytes(r.bytes), "png"), exp)
+
+
+def test_resize_images_validation(spark):
+    imgs = synthetic_images(spark, 1)
+    with pytest.raises(ValueError):
+        resize_images(imgs, 0, 4)
+    with pytest.raises(ValueError):
+        resize_images(imgs, 4, 4, method="lanczos")
