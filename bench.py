@@ -90,6 +90,17 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
     med_sec = statistics.median(r["sec"] for r in runs)
     img["images_per_sec_best"] = img["images_per_sec"]
     img["images_per_sec_median"] = round(n_img / med_sec, 1)
+    # multimodal packed-binary throughput (video/audio/resize), same
+    # best-of-2 protocol; SPARK_GRAFT_BENCH_MEDIA=0 disables
+    n_med = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIA", "3000"))
+    med = None
+    if n_med > 0:
+        med_runs = [
+            _media_stages(spark, n_med, 2 * n_med, n_med, int(cpus))
+            for _ in range(2)
+        ]
+        med = max(med_runs, key=lambda r: r["items_per_sec"])
+        med["runs_sec"] = [r["sec"] for r in med_runs]
     # offline-recorded large-scale numbers (bench.py --knn2m writes this);
     # surfaced here so the driver snapshot carries them with provenance
     rec_path = os.path.join(REPO, "BENCH", "recorded.json")
@@ -109,6 +120,7 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
         "lineitem_rows": n_li,
         "rows_per_sec": round(n_li * len(names) / total, 1),
         "image_workload": img,
+        **({"media_workload": med} if med else {}),
         **({"recorded": recorded} if recorded else {}),
     }
 
@@ -161,6 +173,49 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
         "stages": stage_t,
         "rows": {"gradient": n_g, "knn": n_nn, "unique": n_uc},
         "images_per_sec": round(n_images / sec, 1),
+    }
+
+
+def _media_stages(spark, n_videos: int, n_audio: int, n_resize: int, cpus: int) -> dict:
+    """Multimodal packed-binary passes (core/media.py): gsv1 video frame
+    sampling (seek-skip container decode of every 3rd frame), windowed
+    pcm16 audio RMS/peak, and exact-integer bilinear image resize with
+    lossless re-encode.  All three are zero-shuffle mapInPandas over packed
+    binary rows, so the metric is pure decode+compute throughput per core —
+    the axis that dominates a 100-TB multimodal scan."""
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.core.media import (
+        audio_features,
+        resize_images,
+        sample_frames,
+        synthetic_audio,
+        synthetic_videos,
+    )
+
+    stage_t, rows = {}, {}
+    t0 = time.perf_counter()
+    t = time.perf_counter()
+    vids = synthetic_videos(spark, n_videos, partitions=4 * cpus)
+    rows["frames"] = sample_frames(vids, every=3).count()
+    stage_t["video_sample"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    aud = synthetic_audio(spark, n_audio, partitions=4 * cpus)
+    rows["windows"] = audio_features(aud, window=512).count()
+    stage_t["audio_features"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    imgs = synthetic_images(spark, n_resize, partitions=4 * cpus)
+    rows["resized"] = resize_images(imgs, 32, 32, "bilinear").count()
+    stage_t["resize"] = round(time.perf_counter() - t, 2)
+    sec = time.perf_counter() - t0
+    n_items = n_videos + n_audio + n_resize
+    return {
+        "videos": n_videos,
+        "audio": n_audio,
+        "resize": n_resize,
+        "sec": round(sec, 2),
+        "stages": stage_t,
+        "rows": rows,
+        "items_per_sec": round(n_items / sec, 1),
     }
 
 

@@ -184,6 +184,22 @@ def test_resize_images_spark(spark):
         assert np.array_equal(decode_image(bytes(r.bytes), "png"), exp)
 
 
+def test_media_scan_pruning_and_no_shuffle(spark, tmp_path):
+    # the 100-TB contract (PLANS.md media section): against a parquet
+    # source, the narrow select feeding each media pass reaches the scan as
+    # ReadSchema pruning, and the whole plan has no Exchange
+    p = str(tmp_path / "vids.parquet")
+    synthetic_videos(spark, 6, partitions=2).write.parquet(p)
+    plan = spark.read.parquet(p).transform(
+        lambda df: sample_frames(df, every=3)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    scan_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "bytes" in scan_line and "n_frames" in scan_line
+    for dropped in ("fps", '"w"', '"h"'):
+        assert dropped not in scan_line, scan_line
+
+
 def test_resize_images_validation(spark):
     imgs = synthetic_images(spark, 1)
     with pytest.raises(ValueError):
