@@ -77,7 +77,10 @@ def synthetic_images(spark: SparkSession, n: int, seed: int = 42, partitions: in
                         "phash": np.int64(phash & ((1 << 63) - 1)),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
 
     return base.mapInPandas(gen, IMAGE_SCHEMA)
 

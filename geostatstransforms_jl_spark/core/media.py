@@ -98,7 +98,10 @@ def synthetic_videos(
                         "fmt": "gsv1",
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "bytes", "n_frames", "w", "h", "fps", "fmt"],
+            )
 
     return base.mapInPandas(gen, VIDEO_SCHEMA)
 
@@ -209,7 +212,9 @@ def synthetic_audio(
                         "fmt": "pcm16",
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "bytes", "sr", "n_samples", "fmt"]
+            )
 
     return base.mapInPandas(gen, AUDIO_SCHEMA)
 
@@ -345,7 +350,10 @@ def resize_images(
                         "phash": r.phash,
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
 
     from .images import IMAGE_SCHEMA
 

@@ -285,7 +285,9 @@ def gradient_packed(images: DataFrame, stats: bool = True, carry=(), kern="sobel
                 for c in carry:
                     row[c] = getattr(r, c)
                 rows.append(row)
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows, columns=["image_id", "grad_mean", "grad_max", *carry]
+            )
 
     types = {f.name: f.dataType.simpleString() for f in images.schema.fields}
     schema = "image_id string, grad_mean double, grad_max double" + "".join(

@@ -1,0 +1,69 @@
+"""Media-workload scaling evidence (north rule, round 4): run the
+bench.py media stage at two parallelism levels on the SAME input sizes and
+report throughput at both plus efficiency.  Same protocol as the image
+scaling runs (interleaved reps, best per level; local[1] vs local[4] is this
+host's honest N -> 4N pair — see BENCH/README.md).
+
+Usage: python scripts/media_scaling.py [n_videos] [low] [high] [reps]
+"""
+
+import json
+import subprocess
+import sys
+import time
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+LOW = sys.argv[2] if len(sys.argv) > 2 else "1"
+HIGH = sys.argv[3] if len(sys.argv) > 3 else "4"
+REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+
+WORKER = """
+import json, sys, time
+from geostatstransforms_jl_spark.core.session import get_spark
+import bench
+
+cpus, n = sys.argv[1], int(sys.argv[2])
+spark = get_spark(app=f"gst-media-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=int(cpus))
+spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
+    lambda it: it, "id long").count()  # warm Arrow workers
+out = bench._media_stages(spark, n, 2 * n, n, int(cpus))
+spark.stop()
+print("MEDIA_JSON " + json.dumps({"cpus": int(cpus), **out}))
+"""
+
+
+def run_level(cpus: str) -> dict:
+    p = subprocess.run(
+        [sys.executable, "-c", WORKER, cpus, str(N)],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith("MEDIA_JSON ")][0]
+    return json.loads(line[len("MEDIA_JSON "):])
+
+
+def main():
+    runs = {LOW: [], HIGH: []}
+    for rep in range(REPS):  # interleaved: a noise burst can't bias one level
+        for lvl in (LOW, HIGH):
+            r = run_level(lvl)
+            runs[lvl].append(r)
+            print(f"rep {rep} local[{lvl}]: {r['sec']}s "
+                  f"{r['items_per_sec']} items/s", flush=True)
+    best = {lvl: max(rs, key=lambda r: r["items_per_sec"])
+            for lvl, rs in runs.items()}
+    ratio = int(HIGH) / int(LOW)
+    eff = (best[HIGH]["items_per_sec"]
+           / (best[LOW]["items_per_sec"] * ratio))
+    out = {
+        "workload": "media (video sample + audio windows + resize)",
+        "n_videos": N, "n_audio": 2 * N, "n_resize": N,
+        "low": best[LOW], "high": best[HIGH],
+        "scaling_efficiency": round(eff, 3),
+        "measured": time.strftime("%Y-%m-%d"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -206,3 +206,16 @@ def test_resize_images_validation(spark):
         resize_images(imgs, 0, 4)
     with pytest.raises(ValueError):
         resize_images(imgs, 4, 4, method="lanczos")
+
+
+def test_empty_partitions_schema_complete(spark):
+    # partitions > n leaves some Arrow batches empty; the synthesizers and
+    # packed passes must still yield schema-complete frames (regression:
+    # pd.DataFrame([]) has zero columns and breaks Arrow conversion)
+    vids = synthetic_videos(spark, 2, partitions=8)
+    assert vids.count() == 2
+    auds = synthetic_audio(spark, 2, partitions=8)
+    assert auds.count() == 2
+    imgs = synthetic_images(spark, 2, partitions=8)
+    assert imgs.count() == 2
+    assert resize_images(imgs, 4, 4).count() == 2
