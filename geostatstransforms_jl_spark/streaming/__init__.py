@@ -1,5 +1,6 @@
 from .incremental import (
     streaming_quality,
+    streaming_sessionize,
     streaming_tile_agg,
     streaming_time_rollup,
     streaming_unique_coords,
@@ -7,6 +8,7 @@ from .incremental import (
 
 __all__ = [
     "streaming_quality",
+    "streaming_sessionize",
     "streaming_tile_agg",
     "streaming_time_rollup",
     "streaming_unique_coords",

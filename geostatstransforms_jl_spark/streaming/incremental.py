@@ -16,6 +16,9 @@ offered here:
 * `streaming_tile_agg`     — Upscale/Aggregate grid fast path per window.
 * `streaming_quality`      — per-row text quality/token columns (stateless
   projection; trivially streamable).
+* `streaming_sessionize`   — gap-based sessions as a CUSTOM STATEFUL operator
+  (`applyInPandasWithState` + event-time timeout); the one stage whose batch
+  formulation (a global per-user window) cannot run incrementally.
 
 Sequential operators (ModeFilter/Quenching) are NOT streamable by
 construction — their in-sweep feedback needs a closed tile; run them in the
@@ -103,3 +106,119 @@ def streaming_quality(stream: DataFrame, text_col: str = "text") -> DataFrame:
     from ..textops.quality import quality_scores, token_stats
 
     return quality_scores(token_stats(stream, text_col), text_col)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization over an append stream — the custom stateful
+    operator the batch window trick can't express incrementally (a session is
+    open-ended until the gap closes it, so it needs per-key state with an
+    event-time timeout, not a windowed aggregate).
+
+    `applyInPandasWithState` per user: state holds the open sessions as
+    (start, end, count) epoch-second arrays; each micro-batch folds its
+    events in (extend a session whose [start-gap, end+gap] covers the event,
+    else open one, then merge bridged neighbors), and a session is EMITTED
+    exactly once — when the watermark passes `end + gap`, via the event-time
+    timeout for users with no new data.  Emits
+    (user, n_events, session_start, session_end); the per-user `session_seq`
+    ordinal of the batch variant is intentionally absent — it is a global
+    per-user order statistic, assignable only after sealing (one windowed
+    pass over the emitted table in the batch layer).
+
+    Scale shape: state is O(open sessions per user) — bounded by the
+    watermark horizon / gap, independent of history length; the only shuffle
+    is the groupBy(user) exchange every stateful operator needs.  Late rows
+    beyond the watermark are dropped by the engine before the operator."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = (
+        f"{user_col} {types[user_col]}, n_events long, "
+        "session_start timestamp, session_end timestamp"
+    )
+    state_schema = "starts array<long>, ends array<long>, counts array<long>"
+    gap = int(gap_seconds) * 1_000_000  # state keeps exact microseconds
+    cols = [user_col, "n_events", "session_start", "session_end"]
+
+    def fn(key, pdfs, state):
+        starts, ends, counts = (
+            ([], [], []) if not state.exists else [list(v) for v in state.get]
+        )
+        for pdf in pdfs:
+            es = np.sort(pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy())
+            es = es // 1000  # ns -> us, exact (parquet/Spark carry us)
+            for t in es:
+                t = int(t)
+                for i in range(len(starts)):
+                    if starts[i] - gap <= t <= ends[i] + gap:
+                        starts[i] = min(starts[i], t)
+                        ends[i] = max(ends[i], t)
+                        counts[i] += 1
+                        break
+                else:
+                    starts.append(t)
+                    ends.append(t)
+                    counts.append(1)
+            # one event can bridge two sessions: merge overlapping neighbors
+            order = sorted(range(len(starts)), key=lambda i: starts[i])
+            ms, me, mc = [], [], []
+            for i in order:
+                if ms and starts[i] <= me[-1] + gap:
+                    me[-1] = max(me[-1], ends[i])
+                    mc[-1] += counts[i]
+                else:
+                    ms.append(starts[i])
+                    me.append(ends[i])
+                    mc.append(counts[i])
+            starts, ends, counts = ms, me, mc
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms * 1000  # us
+        sealed = [i for i in range(len(starts)) if ends[i] + gap < wm]
+        live = [i for i in range(len(starts)) if ends[i] + gap >= wm]
+        if live:
+            state.update(
+                (
+                    [starts[i] for i in live],
+                    [ends[i] for i in live],
+                    [counts[i] for i in live],
+                )
+            )
+            # wake up when the earliest open session COULD seal (must be
+            # strictly past the current watermark per the state contract)
+            state.setTimeoutTimestamp(
+                max((min(ends[i] for i in live) + gap) // 1000 + 1, wm_ms + 1)
+            )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    counts[i],
+                    pd.Timestamp(starts[i], unit="us"),
+                    pd.Timestamp(ends[i], unit="us"),
+                )
+                for i in sealed
+            ],
+            columns=cols,
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

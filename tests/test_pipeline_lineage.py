@@ -205,3 +205,127 @@ def test_tabletransforms_vocabulary(spark):
     pipe = Pipeline([StdFeats(["a"]), Filter("a > -10")])
     out, caches = pipe.run(gt)
     assert out.df.count() == 60
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    # gap sessions via applyInPandasWithState == batch sessionize on the same
+    # events, down to exact (user, n_events, start, end) microseconds.  Three
+    # files processed in mtime order (maxFilesPerTrigger=1): the real events,
+    # then two far-future sentinels per user — sentinel 1 advances the
+    # watermark past every real session's end+gap, sentinel 2 forces the
+    # micro-batch in which those event-time timeouts fire.
+    import os
+    import time
+
+    from geostatstransforms_jl_spark.functions.timeseries import sessionize
+    from geostatstransforms_jl_spark.streaming import streaming_sessionize
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts")
+    )
+    hi = ev.agg(F.max("ts").alias("m")).first().m
+    src = tmp_path / "sess_src"
+    ev.coalesce(1).write.parquet(str(src))
+    users = [r.user_id for r in ev.select("user_id").distinct().collect()]
+    for k, days in ((1, 30), (2, 60)):
+        sent = spark.createDataFrame(
+            [(u, hi) for u in users], "user_id long, ts timestamp"
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        sent.coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select * from sess_stream where session_start <= timestamp'{}'".format(hi)
+    )
+    batch = sessionize(ev, gap_seconds=1800)
+    g = sorted(
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in got.collect()
+    )
+    b = sorted(
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in batch.collect()
+    )
+    assert len(g) == len(set(g)), "a session was emitted twice"
+    assert g == b
+
+
+def test_streaming_tile_agg_and_quality(spark, tmp_path):
+    # the two remaining streaming variants, parity vs their batch twins
+    from geostatstransforms_jl_spark.streaming import (
+        streaming_quality,
+        streaming_tile_agg,
+    )
+    from geostatstransforms_jl_spark.textops.quality import (
+        quality_scores,
+        token_stats,
+    )
+
+    px = spark.range(4096).select(
+        F.lit("img0").alias("image_id"),
+        (F.col("id") % 64).cast("int").alias("i"),
+        (F.col("id") / 64).cast("int").alias("j"),
+        (F.col("id") % 97).cast("double").alias("z"),
+    )
+    src = tmp_path / "px_src"
+    px.write.parquet(str(src))
+    stream = spark.readStream.schema(px.schema).parquet(str(src))
+    q = (
+        streaming_tile_agg(stream, 4, 4)
+        .writeStream.format("memory")
+        .queryName("tile_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.i, r.j): (r.n, round(r.z, 9))
+        for r in spark.sql("select * from tile_stream").collect()
+    }
+    batch = {
+        (r.i, r.j): (r.n, round(r.z, 9))
+        for r in streaming_tile_agg(px, 4, 4).collect()
+    }
+    assert got == batch and len(got) == 256
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dsrc = tmp_path / "doc_src"
+    docs.write.parquet(str(dsrc))
+    dstream = spark.readStream.schema(docs.schema).parquet(str(dsrc))
+    q2 = (
+        streaming_quality(dstream)
+        .writeStream.format("memory")
+        .queryName("qual_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    sg = {
+        r.doc_id: (r.n_tokens, round(r.quality, 9))
+        for r in spark.sql("select * from qual_stream").collect()
+    }
+    sb = {
+        r.doc_id: (r.n_tokens, round(r.quality, 9))
+        for r in quality_scores(token_stats(docs, "text"), "text").collect()
+    }
+    assert sg == sb and len(sg) == docs.count()
