@@ -620,17 +620,17 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.functions.timeseries import sessionize
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # session bounds as epoch longs: events.parquet carries timestamp[us]
-    # without timezone, which Spark reads as TIMESTAMP_NTZ and DuckDB as
-    # TIMESTAMP — values compare equal but serialize differently, so the
-    # driver's value-hash diverges on raw timestamps.  Epoch seconds are
-    # representation-free on both sides.
+    # session bounds as epoch-MICROSECOND longs: events.parquet carries
+    # timestamp[us] without timezone, which Spark reads as TIMESTAMP_NTZ and
+    # DuckDB as TIMESTAMP — values compare equal but serialize differently,
+    # so the driver's value-hash diverges on raw timestamps.  Epoch micros
+    # are representation-free on both sides and keep full precision.
     return sessionize(ev, 1800).select(
         "user_id",
         "session_seq",
         "n_events",
-        F.col("session_start").cast("timestamp").cast("long").alias("session_start"),
-        F.col("session_end").cast("timestamp").cast("long").alias("session_end"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end"),
     )
 
 
@@ -1450,9 +1450,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "events_sessionize": """
             WITH g AS (
               SELECT user_id, ts,
-                     -- floor to whole seconds first: Spark's gap is computed
-                     -- on truncated epoch longs
-                     CASE WHEN floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) > 1800
+                     -- EXACT microsecond gap, matching the engine's
+                     -- unix_micros-based comparison
+                     CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800 * 1000000
                             OR LAG(ts) OVER w IS NULL
                           THEN 1 ELSE 0 END AS new_s
               FROM events
@@ -1468,10 +1469,9 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT user_id, session_seq,
                    COUNT(*) AS n_events,
-                   -- floor, not CAST-rounding: Spark's timestamp→long cast
-                   -- truncates fractional seconds
-                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
-                   CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end
+                   -- full microsecond precision on the bounds too
+                   epoch_us(MIN(ts)) AS session_start,
+                   epoch_us(MAX(ts)) AS session_end
             FROM s GROUP BY 1, 2
         """,
         "uniquecoords_3d": f"""

@@ -91,8 +91,12 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
     img["images_per_sec_best"] = img["images_per_sec"]
     img["images_per_sec_median"] = round(n_img / med_sec, 1)
     # multimodal packed-binary throughput (video/audio/resize), same
-    # best-of-2 protocol; SPARK_GRAFT_BENCH_MEDIA=0 disables
-    n_med = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIA", "3000"))
+    # best-of-2 protocol.  SPARK_GRAFT_BENCH_MEDIA=0 disables the stage;
+    # the SIZE knob is SPARK_GRAFT_BENCH_MEDIA_N (mirrors _BENCH_IMAGES) —
+    # a boolean-intent MEDIA=1 must not silently run a 1-video stage and
+    # record a startup-dominated items_per_sec into the snapshot
+    media_on = os.environ.get("SPARK_GRAFT_BENCH_MEDIA", "1") != "0"
+    n_med = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIA_N", "3000")) if media_on else 0
     med = None
     if n_med > 0:
         med_runs = [

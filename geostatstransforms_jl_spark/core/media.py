@@ -141,6 +141,9 @@ def sample_frames(videos: DataFrame, every: int = 1, offset: int = 0) -> DataFra
     `gradient_packed`/`images_to_long`."""
     if every < 1:
         raise ValueError("every must be >= 1")
+    if offset < 0:
+        # range(-1, n, k) would silently sample a shifted frame set
+        raise ValueError("offset must be >= 0")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -53,10 +53,14 @@ def sessionize(
     # gap 0 ≤ gap_seconds, so with ROWS the boundary placement is
     # deterministic regardless of tie order.
     w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # TIMESTAMP_NTZ has no direct long cast; epoch seconds via timestamp
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    # EXACT microsecond gaps (the full precision Spark timestamps carry).
+    # A whole-second cast would silently merge sessions whose true gap is
+    # within 1s of the threshold — and would diverge from the streaming
+    # twin (streaming/incremental.py:streaming_sessionize), which compares
+    # exact microseconds by construction.
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    new_s = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    new_s = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     with_id = df.withColumn("_new", new_s).withColumn(
         "session_seq", F.sum("_new").over(w_rows)
     )

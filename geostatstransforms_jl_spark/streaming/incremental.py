@@ -121,7 +121,7 @@ def streaming_sessionize(
     event-time timeout, not a windowed aggregate).
 
     `applyInPandasWithState` per user: state holds the open sessions as
-    (start, end, count) epoch-second arrays; each micro-batch folds its
+    (start, end, count) epoch-microsecond arrays; each micro-batch folds its
     events in (extend a session whose [start-gap, end+gap] covers the event,
     else open one, then merge bridged neighbors), and a session is EMITTED
     exactly once — when the watermark passes `end + gap`, via the event-time
@@ -130,6 +130,14 @@ def streaming_sessionize(
     ordinal of the batch variant is intentionally absent — it is a global
     per-user order statistic, assignable only after sealing (one windowed
     pass over the emitted table in the batch layer).
+
+    Gap semantics are EXACT microseconds, identical to the batch
+    `functions.timeseries.sessionize`.  The event time enters the operator
+    as a JVM-computed `unix_micros` long, NOT a pandas timestamp: Arrow
+    hands Python session-timezone-naive timestamps while the state
+    watermark/timeout API is UTC-epoch-based, so comparing them directly
+    would shift sealing by the timezone offset in any non-UTC session —
+    epoch longs are absolute on both sides of that boundary.
 
     Scale shape: state is O(open sessions per user) — bounded by the
     watermark horizon / gap, independent of history length; the only shuffle
@@ -142,19 +150,18 @@ def streaming_sessionize(
     types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
     out_schema = (
         f"{user_col} {types[user_col]}, n_events long, "
-        "session_start timestamp, session_end timestamp"
+        "_start_us long, _end_us long"
     )
     state_schema = "starts array<long>, ends array<long>, counts array<long>"
     gap = int(gap_seconds) * 1_000_000  # state keeps exact microseconds
-    cols = [user_col, "n_events", "session_start", "session_end"]
+    cols = [user_col, "n_events", "_start_us", "_end_us"]
 
     def fn(key, pdfs, state):
         starts, ends, counts = (
             ([], [], []) if not state.exists else [list(v) for v in state.get]
         )
         for pdf in pdfs:
-            es = np.sort(pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy())
-            es = es // 1000  # ns -> us, exact (parquet/Spark carry us)
+            es = np.sort(pdf["_ts_us"].to_numpy())
             for t in es:
                 t = int(t)
                 for i in range(len(starts)):
@@ -199,26 +206,28 @@ def streaming_sessionize(
         else:
             state.remove()
         yield pd.DataFrame(
-            [
-                (
-                    key[0],
-                    counts[i],
-                    pd.Timestamp(starts[i], unit="us"),
-                    pd.Timestamp(ends[i], unit="us"),
-                )
-                for i in sealed
-            ],
+            [(key[0], counts[i], starts[i], ends[i]) for i in sealed],
             columns=cols,
         )
 
-    return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    # watermark on the timestamp column, epoch extraction JVM-side; the
+    # tagged column stays in the projection so the stateful operator keeps
+    # its event-time watermark
+    d = stream.withWatermark(ts_col, watermark).select(
+        user_col,
+        ts_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+    )
+    sealed = d.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return sealed.select(
+        user_col,
+        "n_events",
+        F.timestamp_micros("_start_us").alias("session_start"),
+        F.timestamp_micros("_end_us").alias("session_end"),
     )

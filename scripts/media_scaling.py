@@ -36,10 +36,18 @@ print("MEDIA_JSON " + json.dumps({"cpus": int(cpus), **out}))
 def run_level(cpus: str) -> dict:
     p = subprocess.run(
         [sys.executable, "-c", WORKER, cpus, str(N)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
-    line = [l for l in p.stdout.splitlines() if l.startswith("MEDIA_JSON ")][0]
-    return json.loads(line[len("MEDIA_JSON "):])
+    lines = [l for l in p.stdout.splitlines() if l.startswith("MEDIA_JSON ")]
+    if p.returncode != 0 or not lines:
+        # surface the worker's own diagnostics — a multi-hour run must not
+        # die with a bare exit code
+        sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:] + "\n")
+        raise RuntimeError(
+            f"worker local[{cpus}] failed (rc={p.returncode}, "
+            f"media_json={'present' if lines else 'MISSING'}); stderr above"
+        )
+    return json.loads(lines[0][len("MEDIA_JSON "):])
 
 
 def main():

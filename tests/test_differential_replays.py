@@ -465,11 +465,20 @@ def test_literal_oracle_independence_boundary():
         "geostatstransforms_jl_spark.core.media",
     }
     # from core.media only the input-defining pure generators, never the
-    # operator/resize/feature code whose outputs the oracles check
-    for m in re.finditer(
-        r"from\s+geostatstransforms_jl_spark\.core\.media\s+import\s+([\w, ]+)", src
-    ):
-        names = {n.strip() for n in m.group(1).split(",")}
+    # operator/resize/feature code whose outputs the oracles check.  The
+    # pattern also covers parenthesized/multi-line import forms so a future
+    # `from ...core.media import (\n    resize_plane,\n)` can't slip past.
+    media_imports = re.findall(
+        r"from\s+geostatstransforms_jl_spark\.core\.media\s+import\s+"
+        r"(\([^)]*\)|[^\n]+)",
+        src,
+    )
+    for grp in media_imports:
+        names = {
+            n.strip()
+            for n in grp.strip("()").replace("\n", ",").split(",")
+            if n.strip()
+        }
         assert names <= {"make_video", "make_audio"}, names
     assert set(imports) <= allowed, f"engine imports beyond the contract: {imports}"
     # the k-means trainer is replayed in-file from its spec now

@@ -120,7 +120,7 @@ def test_streaming_unique_coords(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = spark.sql("select * from uc_stream")
     assert got.count() == 350
     batch = df.groupBy("x", "y").agg(F.avg("a").alias("a"))
@@ -147,7 +147,7 @@ def test_streaming_time_rollup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = spark.sql("select bucket.start as b, event_type, n, sum_value from ev_stream")
     batch = ev.groupBy(
         F.date_trunc("hour", "ts").alias("b"), "event_type"
@@ -249,7 +249,7 @@ def test_streaming_sessionize(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     got = spark.sql(
         "select * from sess_stream where session_start <= timestamp'{}'".format(hi)
     )
@@ -294,7 +294,7 @@ def test_streaming_tile_agg_and_quality(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {
         (r.i, r.j): (r.n, round(r.z, 9))
         for r in spark.sql("select * from tile_stream").collect()
@@ -319,7 +319,7 @@ def test_streaming_tile_agg_and_quality(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     sg = {
         r.doc_id: (r.n_tokens, round(r.quality, 9))
         for r in spark.sql("select * from qual_stream").collect()
@@ -329,3 +329,68 @@ def test_streaming_tile_agg_and_quality(spark, tmp_path):
         for r in quality_scores(token_stats(docs, "text"), "text").collect()
     }
     assert sg == sb and len(sg) == docs.count()
+
+
+def test_streaming_sessionize_non_utc_timezone(spark, tmp_path):
+    # regression: the stateful operator compares JVM-computed unix_micros
+    # against the UTC watermark, so a non-UTC session timezone must not
+    # shift sealing (naive pandas timestamps WOULD be shifted by the
+    # session-tz offset and double-emit sessions)
+    from geostatstransforms_jl_spark.functions.timeseries import sessionize
+    from geostatstransforms_jl_spark.streaming import streaming_sessionize
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [
+            (u, f"2024-03-01 {8 + u}:{m:02d}:{s:02d}.{us:06d}")
+            for u in (1, 2)
+            for m, s, us in (
+                (0, 0, 250000), (10, 30, 0), (20, 0, 999999),  # session 1
+                (55, 0, 0), (59, 59, 123456),                  # session 2
+            )
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, t string").select(
+            "user_id", F.col("t").cast("timestamp").alias("ts")
+        )
+        hi = ev.agg(F.max("ts").alias("m")).first().m
+        src = tmp_path / "tz_src"
+        ev.coalesce(1).write.parquet(str(src))
+        import time
+
+        for days in (30, 60):
+            sent = spark.createDataFrame(
+                [(u, hi) for u in (1, 2)], "user_id long, ts timestamp"
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+            time.sleep(1.1)
+            sent.coalesce(1).write.mode("append").parquet(str(src))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = streaming_sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_tz_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tz_ckpt"))
+            .start()
+        )
+        assert q.awaitTermination(300)
+        got = spark.sql(
+            "select * from sess_tz_stream where session_start <= timestamp'{}'".format(hi)
+        )
+        g = sorted(
+            (r.user_id, r.n_events, r.session_start, r.session_end)
+            for r in got.collect()
+        )
+        b = sorted(
+            (r.user_id, r.n_events, r.session_start, r.session_end)
+            for r in sessionize(ev, gap_seconds=1800).collect()
+        )
+        assert len(g) == len(set(g)) and len(g) == 4  # 2 users x 2 sessions
+        assert g == b
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
