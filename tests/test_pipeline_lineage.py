@@ -394,3 +394,70 @@ def test_streaming_sessionize_non_utc_timezone(spark, tmp_path):
         assert g == b
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_sessionize_microsecond_boundary(spark, tmp_path):
+    # gaps exactly AT, 1us OVER, and 1us UNDER the threshold: a session
+    # break happens iff gap > gap_seconds, compared in exact microseconds
+    # (whole-second truncation would merge the +1us case).  Batch and
+    # streaming must agree with the hand-folded expectation.
+    import time
+
+    from geostatstransforms_jl_spark.functions.timeseries import sessionize
+    from geostatstransforms_jl_spark.streaming import streaming_sessionize
+
+    G = 1800 * 10**6
+    base = 1_714_521_600 * 10**6
+    deltas = [0, G, G + 1, G - 1, G + 1, 1, G]  # cumulative gaps after e0
+    us, acc = [], base
+    for d in deltas:
+        acc += d
+        us.append(acc)
+    us = [base] + us
+    # expected sessions: breaks only where gap > G (the two G+1 gaps)
+    expected = sorted(
+        [(1, 3, us[0], us[2]), (1, 2, us[3], us[4]), (1, 3, us[5], us[7])]
+    )
+    ev = spark.createDataFrame(
+        [(1, u) for u in us], "user_id long, us long"
+    ).select("user_id", F.timestamp_micros("us").alias("ts"))
+
+    b = sorted(
+        (r.user_id, r.n_events,
+         r.session_start.timestamp() * 10**6, r.session_end.timestamp() * 10**6)
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    )
+    assert [(u, n, round(s), round(e)) for u, n, s, e in b] == expected
+
+    hi = ev.agg(F.max("ts").alias("m")).first().m
+    src = tmp_path / "bnd_src"
+    ev.coalesce(1).write.parquet(str(src))
+    for days in (30, 60):
+        time.sleep(1.1)
+        spark.createDataFrame([(1, hi)], "user_id long, ts timestamp").withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("bnd_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bnd_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    g = sorted(
+        (r.user_id, r.n_events,
+         round(r.session_start.timestamp() * 10**6),
+         round(r.session_end.timestamp() * 10**6))
+        for r in spark.sql(
+            "select * from bnd_stream where session_start <= timestamp'{}'".format(hi)
+        ).collect()
+    )
+    assert g == expected
