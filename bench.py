@@ -62,6 +62,10 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
     # repeating each query back-to-back) keeps a noise burst from landing on
     # both runs of the same query; per-query raw runs are kept alongside.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    if reps < 1:
+        raise SystemExit("SPARK_GRAFT_BENCH_REPS must be >= 1 "
+                         "(set SPARK_GRAFT_BENCH_MEDIA=0 / skip queries by "
+                         "flag, not by zero reps)")
     per_q_runs = {name: [] for name in names}
     for _ in range(reps):
         for name in names:

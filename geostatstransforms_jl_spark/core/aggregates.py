@@ -233,7 +233,28 @@ def dict_encode_strings(
                 F.array(*[F.lit(v) for v in vals]),
                 F.array(*[F.lit(i) for i in range(len(vals))]),
             )
-            df = df.withColumn(c, F.element_at(code, F.col(c)))
+            # the dictionary is a snapshot from a separate action; if the
+            # input lineage is non-deterministic (seedless sample, rand),
+            # the aggregation job can re-evaluate to values absent from the
+            # snapshot — element_at(map, missing) is NULL even under ANSI
+            # (measured on 4.1), which would silently corrupt first/last to
+            # NULL.  Fail loudly instead of corrupting.
+            enc = F.when(F.col(c).isNull(), F.lit(None).cast("int")).otherwise(
+                F.coalesce(
+                    F.element_at(code, F.col(c)),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"dict_encode_strings: value of column '{c}' not "
+                                "in the dictionary snapshot — non-deterministic "
+                                "input lineage? value="
+                            ),
+                            F.col(c),
+                        )
+                    ).cast("int"),
+                )
+            )
+            df = df.withColumn(c, enc)
             decode[c] = F.array(*[F.lit(v) for v in vals])
     return df, decode
 

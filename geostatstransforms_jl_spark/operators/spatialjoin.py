@@ -135,10 +135,13 @@ def pip_join(
     if broadcast_geoms is None:
         # the estimate's .first() materializes the full bbox pipeline
         # (flatten + per-vertex min/max over every ring) — persist so the
-        # join's gcells reuses it instead of re-scanning the vertex arrays
-        # (round-4 review).  bbox is geom_id + 4 ints + a count per polygon
-        # (tens of bytes), so the cache is tiny relative to the geometry
-        # table and is evicted LRU once the query completes.
+        # estimate and the join's gcells share one computation, then
+        # unpersist immediately after the estimate: explicit persists are
+        # NOT released by memory-pressure LRU (only unpersist()/session
+        # end drops the disk copies), so leaving it pinned would leak one
+        # bbox cache per pip_join call in a long-lived session.  gcells may
+        # recompute the projection — one narrow pass over the polygon
+        # table, cheaper than pinned storage at call volume.
         from pyspark import StorageLevel
 
         bbox = bbox.persist(StorageLevel.MEMORY_AND_DISK)
@@ -153,6 +156,7 @@ def pip_join(
             (est["cells"] or 0) <= geom_broadcast_threshold
             and (est["verts"] or 0) <= geom_broadcast_threshold
         )
+        bbox.unpersist(blocking=False)
     gcells = bbox.filter(
         (F.col("i_lo") <= F.col("i_hi")) & (F.col("j_lo") <= F.col("j_hi"))
     ).select(
