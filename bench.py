@@ -109,6 +109,11 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
         ]
         med = max(med_runs, key=lambda r: r["items_per_sec"])
         med["runs_sec"] = [r["sec"] for r in med_runs]
+        # median beside best, same as the image workload (ADVICE r3)
+        med["items_per_sec_best"] = med["items_per_sec"]
+        med["items_per_sec_median"] = round(
+            statistics.median(r["items_per_sec"] for r in med_runs), 1
+        )
     # offline-recorded large-scale numbers (bench.py --knn2m writes this);
     # surfaced here so the driver snapshot carries them with provenance
     rec_path = os.path.join(REPO, "BENCH", "recorded.json")
