@@ -1,4 +1,5 @@
 from .incremental import (
+    assign_session_seq,
     streaming_quality,
     streaming_sessionize,
     streaming_tile_agg,
@@ -7,6 +8,7 @@ from .incremental import (
 )
 
 __all__ = [
+    "assign_session_seq",
     "streaming_quality",
     "streaming_sessionize",
     "streaming_tile_agg",

@@ -212,7 +212,8 @@ def streaming_sessionize(
 
     # watermark on the timestamp column, epoch extraction JVM-side; the
     # tagged column stays in the projection so the stateful operator keeps
-    # its event-time watermark
+    # its event-time watermark (see assign_session_seq for the batch-layer
+    # ordinal pass over the sealed output)
     d = stream.withWatermark(ts_col, watermark).select(
         user_col,
         ts_col,
@@ -230,4 +231,19 @@ def streaming_sessionize(
         "n_events",
         F.timestamp_micros("_start_us").alias("session_start"),
         F.timestamp_micros("_end_us").alias("session_end"),
+    )
+
+
+def assign_session_seq(sealed: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """The batch-layer companion to `streaming_sessionize`: add the per-user
+    `session_seq` ordinal (1-based, by session_start) over a SEALED session
+    table, completing parity with the batch `functions.timeseries.sessionize`
+    schema.  A global per-user order statistic can only be assigned after
+    sealing, so it lives here, not in the stateful operator — one window pass,
+    single exchange+sort on (user, session_start), run on the sink table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy("session_start")
+    return sealed.withColumn("session_seq", F.row_number().over(w)).select(
+        user_col, "session_seq", "n_events", "session_start", "session_end"
     )

@@ -461,3 +461,55 @@ def test_sessionize_microsecond_boundary(spark, tmp_path):
         ).collect()
     )
     assert g == expected
+
+
+def test_assign_session_seq(spark):
+    # sealed sessions + batch-layer ordinal == the batch sessionize schema
+    from geostatstransforms_jl_spark.functions.timeseries import sessionize
+    from geostatstransforms_jl_spark.streaming import assign_session_seq
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = sessionize(ev, 1800)
+    # simulate the sealed table (what streaming_sessionize emits)
+    sealed = batch.select("user_id", "n_events", "session_start", "session_end")
+    got = sorted(
+        (r.user_id, r.session_seq, r.n_events, r.session_start, r.session_end)
+        for r in assign_session_seq(sealed).collect()
+    )
+    want = sorted(
+        (r.user_id, r.session_seq, r.n_events, r.session_start, r.session_end)
+        for r in batch.collect()
+    )
+    assert got == want
+
+
+def test_streaming_media_sample_frames(spark, tmp_path):
+    # stateless packed-media pass streams as-is: file-source stream of gsv1
+    # videos -> sample_frames -> memory sink == the batch result
+    from geostatstransforms_jl_spark.core.media import sample_frames, synthetic_videos
+
+    vids = synthetic_videos(spark, 20, partitions=4)
+    src = tmp_path / "vid_src"
+    vids.write.parquet(str(src))
+    stored = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(stored.schema).parquet(str(src))
+    q = (
+        sample_frames(stream, every=3)
+        .writeStream.format("memory")
+        .queryName("vid_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.video_id, r.frame_idx): (r.w, r.h, round(r.frame_mean, 9), bytes(r.bytes))
+        for r in spark.sql("select * from vid_stream").collect()
+    }
+    want = {
+        (r.video_id, r.frame_idx): (r.w, r.h, round(r.frame_mean, 9), bytes(r.bytes))
+        for r in sample_frames(stored, every=3).collect()
+    }
+    assert got == want and len(got) > 20
