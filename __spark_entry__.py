@@ -545,6 +545,33 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline over documents: token stats → quality
+    score → threshold filter → exact dedup of the survivors → representative
+    rows with dup counts.  Demonstrates that the stages compose as plain
+    DataFrame transformations (one scan, one hash aggregate, one equi-join —
+    no materialization between stages).  The filter compares the ROUNDED
+    quality so the engine and the DuckDB oracle make identical boundary
+    decisions (they agree to 1e-6 by the doc_quality contract)."""
+    from geostatstransforms_jl_spark.textops import (
+        exact_dedup,
+        quality_scores,
+        token_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_scores(token_stats(docs)).withColumn(
+        "quality", F.round("quality", 6)
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    deduped = exact_dedup(kept)
+    return (
+        deduped.join(
+            kept.select("doc_id", "n_tokens", "quality"), "doc_id"
+        ).select("doc_id", "dup_count", "n_tokens", "quality")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling document fingerprint (xxhash64 chain — Spark
     hash not reproducible in DuckDB ⇒ rows-only check)."""
@@ -973,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_quality": q_doc_quality,
+        "docs_clean_pipeline": q_docs_clean_pipeline,
         "doc_fingerprint": q_doc_fingerprint,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
@@ -1404,6 +1432,7 @@ def _oracle_sql_base() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
         """,
         "doc_quality": _doc_quality_oracle(),
+        "docs_clean_pipeline": _docs_clean_pipeline_oracle(),
         "detrend_roundtrip": f"""
             WITH p AS ({_SUPP_PTS})
             SELECT row_id AS supp, ROUND(bal, 6) AS bal FROM p
@@ -1733,6 +1762,52 @@ def _doc_quality_oracle() -> str:
                  + least(stop_ratio * 4.0, 1.0)
                ) / 4.0, 6) AS quality
         FROM m
+    """
+
+
+def _docs_clean_pipeline_oracle() -> str:
+    """Composed oracle: the doc_quality computation, a >= 0.5 filter on the
+    6-dp-rounded quality (identical boundary decisions on both sides), exact
+    dedup of the survivors with dedup_exact's normalization, then the
+    representative's token count and quality."""
+    from geostatstransforms_jl_spark.textops.quality import STOPWORDS
+
+    en = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(lower(text)), '\s+') AS w,
+                 length(text) AS n_char,
+                 length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, text,
+                 len(w) AS n_tokens,
+                 ROUND((
+                   least(len(w) / 64.0, 1.0)
+                   + (CASE WHEN n_char * 1.0 / greatest(len(w), 1) >= 3
+                            AND n_char * 1.0 / greatest(len(w), 1) <= 12
+                           THEN 1.0 ELSE 0.3 END)
+                   + (CASE WHEN punct * 1.0 / greatest(n_char, 1) <= 0.2
+                           THEN 1.0 ELSE 0.2 END)
+                   + least(len(list_filter(w, t -> list_contains([{en}], t)))
+                           * 1.0 / greatest(len(w), 1) * 4.0, 1.0)
+                 ) / 4.0, 6) AS quality
+          FROM d
+        ),
+        kept AS (SELECT * FROM m WHERE quality >= 0.5),
+        g AS (
+          SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+          FROM (
+            SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+            FROM kept
+          )
+          GROUP BY norm
+        )
+        SELECT g.doc_id, g.dup_count, kept.n_tokens, kept.quality
+        FROM g JOIN kept USING (doc_id)
     """
 
 
