@@ -513,3 +513,60 @@ def test_streaming_media_sample_frames(spark, tmp_path):
         for r in sample_frames(stored, every=3).collect()
     }
     assert got == want and len(got) > 20
+
+
+def test_streaming_sessionize_bridge_merge(spark, tmp_path):
+    # an event arriving in a LATER micro-batch that falls between two open
+    # sessions must merge them (the bridged-neighbors path): file1 carries
+    # t0 and t0+3000s (gap > 1800 -> two open sessions), file2 carries
+    # t0+1500s which is within the gap of both.  Watermark delay 2h keeps
+    # the bridge event admissible in batch 2.
+    import time
+
+    from geostatstransforms_jl_spark.streaming import streaming_sessionize
+
+    t0 = 1_714_521_600
+    ev1 = spark.createDataFrame(
+        [(1, t0), (1, t0 + 3000)], "user_id long, s long"
+    ).select("user_id", F.timestamp_seconds("s").alias("ts"))
+    ev2 = spark.createDataFrame([(1, t0 + 1500)], "user_id long, s long").select(
+        "user_id", F.timestamp_seconds("s").alias("ts")
+    )
+    src = tmp_path / "bridge_src"
+    ev1.coalesce(1).write.parquet(str(src))
+    for df_sent in (
+        ev2,
+        spark.createDataFrame([(1, t0 + 86400 * 30)], "user_id long, s long").select(
+            "user_id", F.timestamp_seconds("s").alias("ts")
+        ),
+        spark.createDataFrame([(1, t0 + 86400 * 60)], "user_id long, s long").select(
+            "user_id", F.timestamp_seconds("s").alias("ts")
+        ),
+    ):
+        time.sleep(1.1)
+        df_sent.coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("bridge_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bridge_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = [
+        (r.user_id, r.n_events,
+         round(r.session_start.timestamp()), round(r.session_end.timestamp()))
+        for r in spark.sql(
+            "select * from bridge_stream "
+            f"where session_start <= timestamp_seconds({t0 + 3000})"
+        ).collect()
+    ]
+    # ONE merged session of 3 events, not two sessions of 1 and 2
+    assert got == [(1, 3, t0, t0 + 3000)]
