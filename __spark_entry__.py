@@ -549,10 +549,12 @@ def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline over documents: token stats → quality
     score → threshold filter → exact dedup of the survivors → representative
     rows with dup counts.  Demonstrates that the stages compose as plain
-    DataFrame transformations (one scan, one hash aggregate, one equi-join —
-    no materialization between stages).  The filter compares the ROUNDED
-    quality so the engine and the DuckDB oracle make identical boundary
-    decisions (they agree to 1e-6 by the doc_quality contract)."""
+    DataFrame transformations: ONE scan of the text table and one hash
+    aggregate end-to-end — the representative's attributes ride the dedup
+    aggregate via `exact_dedup(carry=...)` (min(struct)), not a join back to
+    the input, which would scan the 100-TB table twice.  The filter compares
+    the ROUNDED quality so the engine and the DuckDB oracle make identical
+    boundary decisions (they agree to 1e-6 by the doc_quality contract)."""
     from geostatstransforms_jl_spark.textops import (
         exact_dedup,
         quality_scores,
@@ -564,11 +566,8 @@ def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality", F.round("quality", 6)
     )
     kept = scored.filter(F.col("quality") >= 0.5)
-    deduped = exact_dedup(kept)
-    return (
-        deduped.join(
-            kept.select("doc_id", "n_tokens", "quality"), "doc_id"
-        ).select("doc_id", "dup_count", "n_tokens", "quality")
+    return exact_dedup(kept, carry=("n_tokens", "quality")).select(
+        "doc_id", "dup_count", "n_tokens", "quality"
     )
 
 

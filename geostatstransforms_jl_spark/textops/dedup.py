@@ -66,13 +66,36 @@ def word_ngrams(col, n: int):
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry=(),
+) -> DataFrame:
     """Exact dedup on normalized text: keep the smallest id per group, count
-    duplicates.  One hash aggregate."""
-    return (
+    duplicates.  One hash aggregate.
+
+    ``carry`` lists attribute columns to keep from the representative
+    (smallest-id) row — carried through the SAME aggregate via
+    ``min(struct(id, carry...))``, so composing "dedup + representative
+    attributes" costs one scan instead of a join back to the input (which
+    would scan the text table twice at 100-TB scale)."""
+    if not carry:
+        return (
+            df.groupBy(_norm_text(F.col(text_col)).alias("_norm"))
+            .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+            .drop("_norm")
+        )
+    rep = F.min(F.struct(F.col(id_col), *[F.col(c) for c in carry])).alias("_rep")
+    out = (
         df.groupBy(_norm_text(F.col(text_col)).alias("_norm"))
-        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .agg(rep, F.count("*").alias("dup_count"))
         .drop("_norm")
+    )
+    return out.select(
+        F.col("_rep")[id_col].alias(id_col),
+        "dup_count",
+        *[F.col("_rep")[c].alias(c) for c in carry],
     )
 
 

@@ -354,3 +354,17 @@ def test_default_caps_warn_once(spark, docs):
         minhash_lsh_pairs(sigs, max_bucket_size=None)
         ngram_jaccard_pairs(docs, max_shingle_df=500)
         simhash_pairs(simhash_64(docs), max_bucket_size=None)
+
+
+def test_exact_dedup_carry(spark):
+    # carry: representative attributes ride the dedup aggregate (one scan,
+    # no join back); values must match the min-id row's
+    rows = [
+        (1, "a b", 10.0), (2, "A  b ", 20.0), (3, "c", 30.0), (4, "c", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    got = {
+        r.doc_id: (r.dup_count, r.score)
+        for r in exact_dedup(df, carry=("score",)).collect()
+    }
+    assert got == {1: (2, 10.0), 3: (2, 30.0)}
