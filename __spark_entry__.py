@@ -320,8 +320,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed image path: deterministic synthetic table → per-tile Sobel
-    stats without exploding pixels (rows-only driver check: binary decode is
-    not DuckDB-expressible)."""
+    stats without exploding pixels; binary decode is not DuckDB-expressible,
+    so the oracle is a literal table from an independent numpy Sobel replay
+    (scripts/gen_literal_oracles.py)."""
     from geostatstransforms_jl_spark.core.images import synthetic_images
     from geostatstransforms_jl_spark.operators.gradient import gradient_packed
 
@@ -333,7 +334,8 @@ def q_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_potrace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image tiles → threshold mask → per-tile Potrace; returns per-image
-    polygon counts (rows-only check)."""
+    polygon counts, hash-checked against an independent 4-connected
+    component-count oracle."""
     from geostatstransforms_jl_spark.core.images import synthetic_images, images_to_long
     from geostatstransforms_jl_spark.core.grid import GridMeta
     from geostatstransforms_jl_spark.operators.potrace import potrace_df
@@ -452,7 +454,8 @@ def q_nn_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kriging_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InterpolateNeighbors with ordinary kriging over the 8 nearest samples
     (src/interpneighbors.jl:47-87 + GeoStatsModels Kriging).  Per-target small
-    solve in an Arrow-grouped pandas UDF — not SQL-expressible (rows-only)."""
+    solve in an Arrow-grouped pandas UDF — not SQL-expressible; the oracle is
+    a literal table from an independent numpy kriging replay."""
     from geostatstransforms_jl_spark.core.geotable import georef_points
     from geostatstransforms_jl_spark.functions.models import Kriging
     from geostatstransforms_jl_spark.operators import InterpolateNeighbors
@@ -472,7 +475,8 @@ def q_kriging_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_modefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ModeFilter on the 32×32 upscaled categorical grid (src/modefilter.jl:16-81):
-    seeded sequential sweep per tile — sequential feedback, rows-only check."""
+    seeded sequential sweep per tile — sequential feedback; literal oracle
+    from an independent seeded replay of the engine's visit-order spec."""
     from geostatstransforms_jl_spark.operators.seqfilters import mode_filter_df
 
     g = q_upscale(spark, sf_dir).select("i", "j", "flag")
@@ -482,7 +486,8 @@ def q_modefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_maxposterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxPosterior indicator-kriging MAP smoothing (src/maxposterior.jl:34-147);
     neighbor reads use the immutable one-hot snapshot so it parallelizes —
-    the small cokriging solves are not SQL-expressible (rows-only)."""
+    the small cokriging solves are not SQL-expressible; literal oracle from
+    an independent indicator-cokriging replay."""
     from geostatstransforms_jl_spark.operators.seqfilters import max_posterior_df
 
     g = q_upscale(spark, sf_dir).select("i", "j", "flag")
@@ -494,7 +499,8 @@ def q_maxposterior(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quenching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simulated quenching of the categorical grid (src/quenching.jl:34-150),
     coarsened to 16×16 so the transiogram objective stays cheap; inherently
-    sequential per tile (rows-only check)."""
+    sequential per tile; literal oracle from an independent
+    transiogram-objective replay."""
     from geostatstransforms_jl_spark.operators.seqfilters import quenching_df
 
     g = _lineitem_grid(spark, sf_dir)
@@ -523,7 +529,9 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (coarse k-means cells + probe) — the
-    scale path next to brute-force cosine; approximate, rows-only check."""
+    scale path next to brute-force cosine; literal oracle replays the
+    inverted lists + probe + re-rank independently (trainer replay is an
+    in-file spec copy — see gen_literal_oracles.py)."""
     from geostatstransforms_jl_spark.functions.ann import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -573,7 +581,8 @@ def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling document fingerprint (xxhash64 chain — Spark
-    hash not reproducible in DuckDB ⇒ rows-only check)."""
+    hash pinned by the clean-room XXH64 literal oracle, scripts/sparkhash.py
+    — also unit-pinned vs Spark in tests/test_properties.py)."""
     from geostatstransforms_jl_spark.textops.quality import doc_fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
