@@ -266,3 +266,68 @@ def test_xxh64_differential_vs_spark(spark):
         assert r["hi"] == spark_xxhash64(i)
         assert r["hl"] == spark_xxhash64(("long", l))
         assert r["hall"] == spark_xxhash64(s, i, ("long", l))
+
+
+# ---- randomized differential: gap sessionize --------------------------------
+
+
+def test_sessionize_randomized_differential(spark):
+    """One Spark job over 3,000 random microsecond-resolution events (60
+    users, duplicate timestamps, planted gaps at exactly the threshold and
+    threshold+1us) vs an independent pandas replay of the gap-session spec:
+    per user, sort by ts and split where the inter-event gap EXCEEDS the
+    threshold.  Fixed fixtures pin the boundary semantics; this sweep checks
+    them across arbitrary gap patterns."""
+    import pandas as pd
+
+    from geostatstransforms_jl_spark.functions.timeseries import sessionize
+
+    gap_s = 30
+    gap_us = gap_s * 1_000_000
+    rng = np.random.default_rng(123)
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = []
+    for u in range(60):
+        t = base + int(rng.integers(0, 10**9))
+        n = int(rng.integers(1, 120))
+        for _ in range(n):
+            rows.append((f"u{u:03d}", t))
+            r = rng.random()
+            if r < 0.05:
+                step = 0  # duplicate timestamp
+            elif r < 0.10:
+                step = gap_us  # exactly the threshold: same session
+            elif r < 0.15:
+                step = gap_us + 1  # 1us over: split
+            else:
+                step = int(rng.integers(1, 3 * gap_us))
+            t += step
+    pdf = pd.DataFrame(rows, columns=["user_id", "us"])
+    pdf["ts"] = pd.to_datetime(pdf["us"], unit="us")
+    df = spark.createDataFrame(pdf[["user_id", "ts"]].sample(frac=1.0, random_state=7))
+
+    got = (
+        sessionize(df, gap_seconds=gap_s)
+        .toPandas()
+        .sort_values(["user_id", "session_seq"], ignore_index=True)
+    )
+
+    # independent replay on the raw events
+    want = []
+    for u, g in pdf.groupby("user_id"):
+        us = np.sort(g["us"].to_numpy())
+        splits = np.flatnonzero(np.diff(us) > gap_us) + 1
+        for seq, chunk in enumerate(np.split(us, splits), start=1):
+            want.append((u, seq, len(chunk), chunk[0], chunk[-1]))
+    want = pd.DataFrame(
+        want, columns=["user_id", "session_seq", "n_events", "start_us", "end_us"]
+    ).sort_values(["user_id", "session_seq"], ignore_index=True)
+
+    assert len(got) == len(want)
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["session_seq"].astype(int) == want["session_seq"]).all()
+    assert (got["n_events"].astype(int) == want["n_events"]).all()
+    got_start = got["session_start"].astype("datetime64[us]").astype("int64")
+    got_end = got["session_end"].astype("datetime64[us]").astype("int64")
+    assert (got_start.to_numpy() == want["start_us"].to_numpy()).all()
+    assert (got_end.to_numpy() == want["end_us"].to_numpy()).all()
