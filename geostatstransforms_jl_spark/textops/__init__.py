@@ -5,6 +5,7 @@ from .dedup import (
     minhash_dedup,
     simhash_64,
     simhash_pairs,
+    hamming_neardup_pairs,
     ngram_jaccard_pairs,
 )
 from .quality import lang_id, quality_scores, token_stats, doc_fingerprint
@@ -16,6 +17,7 @@ __all__ = [
     "minhash_dedup",
     "simhash_64",
     "simhash_pairs",
+    "hamming_neardup_pairs",
     "ngram_jaccard_pairs",
     "lang_id",
     "quality_scores",

@@ -284,6 +284,26 @@ def simhash_pairs(
     return cand.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
+def hamming_neardup_pairs(
+    df: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = None,
+    max_bucket_size: int = _DefaultCap(1000),
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over ANY precomputed 64-bit
+    signature column — the `simhash_pairs` banded machinery generalized to
+    signatures the table already carries, e.g. the image table's perceptual
+    `phash` (BASELINE input hint: `(image_id, ..., phash:int64)`).  Same
+    pigeonhole recall contract: with bands >= max_hamming + 1 every
+    qualifying pair collides in some band, so the banded equi-join + exact
+    `bit_count(xor)` filter returns exactly the brute-force cross-join
+    result without ever forming O(n²) candidates."""
+    sigs = df.select(F.col(id_col), F.col(sig_col).cast("long").alias("simhash"))
+    return simhash_pairs(sigs, id_col, max_hamming, bands, max_bucket_size)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.5, max_shingle_df: int = _DefaultCap(1000),

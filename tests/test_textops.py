@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from geostatstransforms_jl_spark.functions.ann import cosine_topk, ivf_topk, lsh_topk
 from geostatstransforms_jl_spark.textops import (
+    hamming_neardup_pairs,
     doc_fingerprint,
     exact_dedup,
     lang_id,
@@ -368,3 +369,39 @@ def test_exact_dedup_carry(spark):
         for r in exact_dedup(df, carry=("score",)).collect()
     }
     assert got == {1: (2, 10.0), 3: (2, 30.0)}
+
+
+def test_hamming_neardup_pairs_vs_brute_force(spark):
+    # any 64-bit signature column (here a synthetic phash): banded pairs must
+    # equal the O(n^2) brute force exactly (pigeonhole recall + exact filter)
+    rng = np.random.default_rng(31)
+    sigs = rng.integers(-(2**63), 2**63, 400, dtype=np.int64)
+    # plant near-dups: 60 variants at hamming 1..3 of the first 60 sigs
+    def flip(sig, mask):
+        u = (int(sig) & 0xFFFFFFFFFFFFFFFF) ^ mask
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    planted = [
+        (400 + i, flip(sigs[i], sum(1 << int(b) for b in rng.choice(64, size=1 + i % 3, replace=False))))
+        for i in range(60)
+    ]
+    rows = [(i, int(s)) for i, s in enumerate(sigs)] + planted
+    df = spark.createDataFrame(rows, "img_id long, phash long")
+
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in hamming_neardup_pairs(
+            df, sig_col="phash", id_col="img_id", max_hamming=3, max_bucket_size=None
+        ).collect()
+    }
+
+    arr = np.array([s for _, s in rows], dtype=np.int64).astype(np.uint64)
+    ids = np.array([i for i, _ in rows])
+    want = set()
+    for i in range(len(arr)):
+        d = np.array([bin(int(arr[i] ^ x)).count("1") for x in arr[i + 1:]])
+        for j in np.flatnonzero(d <= 3):
+            a, b = ids[i], ids[i + 1 + j]
+            want.add((min(a, b), max(a, b), int(d[j])))
+    assert len(want) >= 60
+    assert got == want
