@@ -366,6 +366,85 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the variant-planting spec shared by q_image_phash_neardup and its oracle:
+# images idx < 60 get a clone whose phash has 1–3 low-62 bits flipped; the
+# mask is an OR of gated single-bit terms so coincident bit choices merge
+# identically on both sides
+_PHASH_IDX = "CAST(substring(image_id, 4, 8) AS INT)"
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image discovery over the input table's perceptual-hash
+    column (BASELINE input hint: `phash:int64`): banded-Hamming equi-join
+    (textops/dedup.py:hamming_neardup_pairs) with pigeonhole-complete
+    recall, never forming O(n²) candidates.  Input: 300 synthetic images +
+    60 planted variants with 1–3 phash bits flipped.  Oracle: the phash
+    literals (input-defining make_image contract) brute-forced entirely in
+    DuckDB SQL — xor + bit_count over the full cross join — so the banded
+    path is checked against an independent exact pair enumeration."""
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.textops.dedup import hamming_neardup_pairs
+
+    base = synthetic_images(spark, 300, partitions=8).select("image_id", "phash")
+    mask = (
+        f"shiftleft(CAST(1 AS BIGINT), {_PHASH_IDX} % 63)"
+        f" | (CASE WHEN {_PHASH_IDX} % 3 >= 1"
+        f"      THEN shiftleft(CAST(1 AS BIGINT), ({_PHASH_IDX} * 31 + 7) % 63)"
+        f"      ELSE CAST(0 AS BIGINT) END)"
+        f" | (CASE WHEN {_PHASH_IDX} % 3 = 2"
+        f"      THEN shiftleft(CAST(1 AS BIGINT), ({_PHASH_IDX} * 17 + 3) % 63)"
+        f"      ELSE CAST(0 AS BIGINT) END)"
+    )
+    variants = base.filter(F.expr(f"{_PHASH_IDX} < 60")).select(
+        F.concat("image_id", F.lit("v")).alias("image_id"),
+        F.expr(f"phash ^ ({mask})").alias("phash"),
+    )
+    out = hamming_neardup_pairs(
+        base.unionByName(variants),
+        sig_col="phash",
+        id_col="image_id",
+        max_hamming=3,
+        max_bucket_size=None,  # exact contract at test scale; cap is the 100-TB path
+    )
+    return out.select("a", "b", "hamming")
+
+
+def _phash_neardup_oracle() -> str:
+    """Brute-force DuckDB pair enumeration over the literal phash table."""
+    from geostatstransforms_jl_spark.core.images import make_image
+
+    vals = ", ".join(
+        f"('img{i:08d}', {make_image(i, encode=False)[6] & ((1 << 63) - 1)})"
+        for i in range(300)
+    )
+    return f"""
+        WITH base(image_id, phash) AS (VALUES {vals}),
+        idxd AS (
+            SELECT image_id, phash, {_PHASH_IDX} AS idx FROM base
+        ),
+        var AS (
+            SELECT image_id || 'v' AS image_id,
+                   xor(phash,
+                       (1::BIGINT << (idx % 63))
+                       | (CASE WHEN idx % 3 >= 1
+                               THEN 1::BIGINT << ((idx * 31 + 7) % 63)
+                               ELSE 0 END)
+                       | (CASE WHEN idx % 3 = 2
+                               THEN 1::BIGINT << ((idx * 17 + 3) % 63)
+                               ELSE 0 END)) AS phash
+            FROM idxd WHERE idx < 60
+        ),
+        allsigs AS (
+            SELECT image_id, phash FROM base
+            UNION ALL SELECT image_id, phash FROM var
+        )
+        SELECT s1.image_id AS a, s2.image_id AS b,
+               CAST(bit_count(xor(s1.phash, s2.phash)) AS INT) AS hamming
+        FROM allsigs s1 JOIN allsigs s2 ON s1.image_id < s2.image_id
+        WHERE bit_count(xor(s1.phash, s2.phash)) <= 3
+    """
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (core/media.py:sample_frames): every 3rd frame
     of 50 synthetic gsv1 containers, seek-skipping unsampled frames.  Oracle:
@@ -994,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_gradient": q_image_gradient,
+        "image_phash_neardup": q_image_phash_neardup,
         "image_potrace": q_image_potrace,
         "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
@@ -1092,6 +1172,9 @@ def oracle_sql() -> dict[str, str]:
         out["slic_cells"] = LITERAL_ORACLES["slic_clusters"]
     except ImportError:
         pass
+    # input-literal oracle: phash VALUES from the input-defining make_image
+    # contract, pair math done entirely by DuckDB (xor + bit_count brute force)
+    out["image_phash_neardup"] = _phash_neardup_oracle()
     return out
 
 

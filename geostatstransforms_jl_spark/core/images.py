@@ -38,7 +38,7 @@ IMAGE_SCHEMA = (
 )
 
 
-def make_image(n: int, seed: int = 42):
+def make_image(n: int, seed: int = 42, encode: bool = True):
     """Deterministic pixels/caption/phash for image #n (pure function)."""
     rng = np.random.default_rng(np.random.PCG64(seed * 1_000_003 + n))
     w = SIZES[n % len(SIZES)]
@@ -49,7 +49,10 @@ def make_image(n: int, seed: int = 42):
     noise = rng.normal(0, 12, (h, w))
     pix = np.clip(base + noise, 0, 255).astype(np.uint8)
     fmt = "png" if n % 3 else "jpeg"
-    data = encode_image(pix, fmt)
+    # the codec consumes no RNG draws, so skipping it (encode=False: callers
+    # that only need pixels/caption/phash, e.g. oracle literal generation)
+    # leaves every downstream draw — and therefore the phash — unchanged
+    data = encode_image(pix, fmt) if encode else None
     caption = " ".join(rng.choice(_WORDS, size=6 + n % 5))
     # content hash with Zipfian-skewed low bits → hot spatial cells
     content = int.from_bytes(pix.tobytes()[:64], "little") & ((1 << 48) - 1)
