@@ -409,14 +409,23 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", "hamming")
 
 
-def _phash_neardup_oracle() -> str:
-    """Brute-force DuckDB pair enumeration over the literal phash table."""
+def _image_literals(n: int = 300, seed: int = 42):
+    """(image_id, phash, w, h, caption) rows of the synthetic input table —
+    the input-defining make_image contract (encode skipped: the codec draws
+    no RNG, so phash/caption are unchanged).  Only INPUT reconstruction:
+    every derived value in the oracles below is recomputed by DuckDB SQL."""
     from geostatstransforms_jl_spark.core.images import make_image
 
-    vals = ", ".join(
-        f"('img{i:08d}', {make_image(i, encode=False)[6] & ((1 << 63) - 1)})"
-        for i in range(300)
-    )
+    out = []
+    for i in range(n):
+        _, w, h, _, _, caption, phash = make_image(i, seed, encode=False)
+        out.append((f"img{i:08d}", phash & ((1 << 63) - 1), w, h, caption))
+    return out
+
+
+def _phash_neardup_oracle() -> str:
+    """Brute-force DuckDB pair enumeration over the literal phash table."""
+    vals = ", ".join(f"('{i}', {p})" for i, p, _, _, _ in _image_literals())
     return f"""
         WITH base(image_id, phash) AS (VALUES {vals}),
         idxd AS (
@@ -442,6 +451,83 @@ def _phash_neardup_oracle() -> str:
                CAST(bit_count(xor(s1.phash, s2.phash)) AS INT) AS hamming
         FROM allsigs s1 JOIN allsigs s2 ON s1.image_id < s2.image_id
         WHERE bit_count(xor(s1.phash, s2.phash)) <= 3
+    """
+
+
+def q_images_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star pipeline end-to-end as one oracle-checked query:
+    input-shaped image+caption table → phash georeference (core/images.py:
+    georef_lonlat) → Z-order cell tile-assignment at res 5 (functions/
+    geocell.py:morton_cell, pure codegen'd bit spreading) → per-cell rollup
+    (image count, distinct phash, caption token average, pixel average).
+    Oracle: the input literals with every derived value — lon/lat bit math,
+    Morton spreading, token split, aggregates — recomputed in DuckDB SQL."""
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.core.images import georef_lonlat, synthetic_images
+    from geostatstransforms_jl_spark.functions.geocell import morton_cell
+
+    images = synthetic_images(spark, 300, partitions=8)
+    lon, lat = georef_lonlat("phash")
+    pts = images.select(
+        "image_id", "phash", "w", "h", "caption",
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 5)  # edge 1/32: exact binary
+    keyed = pts.withColumn("zkey", morton_cell(grid, F.col("lon"), F.col("lat")))
+    return keyed.groupBy("zkey").agg(
+        F.count("*").alias("n_images"),
+        F.countDistinct("phash").alias("n_phash"),
+        F.round(F.avg(F.size(F.split("caption", " "))), 6).alias("avg_tokens"),
+        F.round(F.avg(F.col("w") * F.col("h")), 6).alias("avg_pixels"),
+        F.min("image_id").alias("first_image"),
+    )
+
+
+def _images_tile_cells_oracle() -> str:
+    """Same magic-number Morton spreading as the zorder_cells oracle, over
+    the phash-georeferenced image literals; edge 1/32 is an exact binary
+    double so floor() agrees bit-for-bit with CellGrid.idx."""
+    vals = ", ".join(
+        f"('{i}', {p}, {w}, {h}, '{c}')" for i, p, w, h, c in _image_literals()
+    )
+    return f"""
+        WITH imgs(image_id, phash, w, h, caption) AS (VALUES {vals}),
+        p AS (
+          SELECT image_id, phash, w, h, caption,
+                 ((phash >> 15) % 100000) / 100000.0 AS lon,
+                 (phash % 32768) / 32768.0 AS lat
+          FROM imgs
+        ),
+        i AS (
+          SELECT image_id, phash, w, h, caption,
+                 GREATEST(0, LEAST(31, CAST(floor(lon / 0.03125) AS BIGINT))) AS vx,
+                 GREATEST(0, LEAST(31, CAST(floor(lat / 0.03125) AS BIGINT))) AS vy
+          FROM p
+        ),
+        s1 AS (SELECT image_id, phash, w, h, caption,
+                      (vx | (vx << 16)) & 281470681808895 AS vx,
+                      (vy | (vy << 16)) & 281470681808895 AS vy FROM i),
+        s2 AS (SELECT image_id, phash, w, h, caption,
+                      (vx | (vx << 8)) & 71777214294589695 AS vx,
+                      (vy | (vy << 8)) & 71777214294589695 AS vy FROM s1),
+        s3 AS (SELECT image_id, phash, w, h, caption,
+                      (vx | (vx << 4)) & 1085102592571150095 AS vx,
+                      (vy | (vy << 4)) & 1085102592571150095 AS vy FROM s2),
+        s4 AS (SELECT image_id, phash, w, h, caption,
+                      (vx | (vx << 2)) & 3689348814741910323 AS vx,
+                      (vy | (vy << 2)) & 3689348814741910323 AS vy FROM s3),
+        s5 AS (SELECT image_id, phash, w, h, caption,
+                      (vx | (vx << 1)) & 6148914691236517205 AS vx,
+                      (vy | (vy << 1)) & 6148914691236517205 AS vy FROM s4),
+        k AS (SELECT image_id, phash, w, h, caption, (vx | (vy << 1)) AS zkey FROM s5)
+        SELECT zkey,
+               COUNT(*) AS n_images,
+               COUNT(DISTINCT phash) AS n_phash,
+               ROUND(AVG(len(string_split(caption, ' '))), 6) AS avg_tokens,
+               ROUND(AVG(w * h), 6) AS avg_pixels,
+               MIN(image_id) AS first_image
+        FROM k
+        GROUP BY 1
     """
 
 
@@ -1074,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_gradient": q_image_gradient,
         "image_phash_neardup": q_image_phash_neardup,
+        "images_tile_cells": q_images_tile_cells,
         "image_potrace": q_image_potrace,
         "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
@@ -1175,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
     # input-literal oracle: phash VALUES from the input-defining make_image
     # contract, pair math done entirely by DuckDB (xor + bit_count brute force)
     out["image_phash_neardup"] = _phash_neardup_oracle()
+    out["images_tile_cells"] = _images_tile_cells_oracle()
     return out
 
 

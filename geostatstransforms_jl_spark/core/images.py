@@ -88,6 +88,19 @@ def synthetic_images(spark: SparkSession, n: int, seed: int = 42, partitions: in
     return base.mapInPandas(gen, IMAGE_SCHEMA)
 
 
+def georef_lonlat(phash_col="phash"):
+    """Column form of :func:`phash_to_lonlat` — the JVM-side georeference
+    used by the tile-assignment path (pure bit/arith expressions, codegen'd;
+    phash is 63-bit non-negative so the unsigned shift equals the Python
+    arithmetic shift)."""
+    from pyspark.sql import functions as F
+
+    p = F.col(phash_col) if isinstance(phash_col, str) else phash_col
+    lon = (F.shiftrightunsigned(p, 15) % 100_000) / 100_000.0
+    lat = (p % (1 << 15)) / float(1 << 15)
+    return lon, lat
+
+
 def phash_to_lonlat(phash: int) -> tuple:
     """Deterministic georeference of a tile: phash → (lon, lat) in [0, 1)²
     (an abstract unit globe — reference geometry is plain Cartesian too)."""
