@@ -531,6 +531,56 @@ def _images_tile_cells_oracle() -> str:
     """
 
 
+def q_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-workload kNN hot path (bench.py image stage) under the
+    correctness gate: georeferenced image points through the cell-ladder
+    kNN join (broadcast_threshold=0 forces the 100-TB cell path), k=2
+    nearest other images per image.  Oracle: DuckDB brute-force cross join
+    over the same lon/lat doubles with the engine's (dist, s_id) tie-break
+    — identical left-associated sqrt arithmetic, so ROUND agrees."""
+    from geostatstransforms_jl_spark.core.images import georef_lonlat, synthetic_images
+    from geostatstransforms_jl_spark.functions.knn import knn_join
+
+    images = synthetic_images(spark, 300, partitions=8)
+    lon, lat = georef_lonlat("phash")
+    pts = images.select(
+        F.expr(_PHASH_IDX).cast("bigint").alias("row_id"),
+        lon.alias("x"),
+        lat.alias("y"),
+    )
+    out = knn_join(pts, pts.select("*"), k=2, exclude_same_id=True, broadcast_threshold=0)
+    return out.select(
+        F.col("t_row_id").alias("t"),
+        F.col("s_row_id").alias("s"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _images_knn_oracle() -> str:
+    vals = ", ".join(f"({int(i[3:])}, {p})" for i, p, _, _, _ in _image_literals())
+    return f"""
+        WITH imgs(row_id, phash) AS (VALUES {vals}),
+        p AS (
+          SELECT row_id,
+                 ((phash >> 15) % 100000) / 100000.0 AS x,
+                 (phash % 32768) / 32768.0 AS y
+          FROM imgs
+        ),
+        d AS (
+          SELECT a.row_id AS t, b.row_id AS s,
+                 sqrt((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y)) AS rawd
+          FROM p a JOIN p b ON a.row_id <> b.row_id
+        ),
+        r AS (
+          SELECT t, s, rawd,
+                 ROW_NUMBER() OVER (PARTITION BY t ORDER BY rawd, s) AS rk
+          FROM d
+        )
+        SELECT t, s, ROUND(rawd, 6) AS dist FROM r WHERE rk <= 2
+    """
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (core/media.py:sample_frames): every 3rd frame
     of 50 synthetic gsv1 containers, seek-skipping unsampled frames.  Oracle:
@@ -1161,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gradient": q_image_gradient,
         "image_phash_neardup": q_image_phash_neardup,
         "images_tile_cells": q_images_tile_cells,
+        "images_knn": q_images_knn,
         "image_potrace": q_image_potrace,
         "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
@@ -1263,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
     # contract, pair math done entirely by DuckDB (xor + bit_count brute force)
     out["image_phash_neardup"] = _phash_neardup_oracle()
     out["images_tile_cells"] = _images_tile_cells_oracle()
+    out["images_knn"] = _images_knn_oracle()
     return out
 
 
