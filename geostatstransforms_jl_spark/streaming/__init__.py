@@ -3,6 +3,7 @@ from .incremental import (
     streaming_quality,
     streaming_sessionize,
     streaming_tile_agg,
+    streaming_tile_cells,
     streaming_time_rollup,
     streaming_unique_coords,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "streaming_quality",
     "streaming_sessionize",
     "streaming_tile_agg",
+    "streaming_tile_cells",
     "streaming_time_rollup",
     "streaming_unique_coords",
 ]

@@ -101,6 +101,31 @@ def streaming_time_rollup(
     )
 
 
+def streaming_tile_cells(
+    stream: DataFrame,
+    grid,
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """The north-star tile-assignment rollup over an append stream of
+    input-shaped image rows: phash georeference → Morton cell key → per-cell
+    (count, caption-token average, first image id).  All aggregates are
+    associative, so new image partitions fold into the standing per-cell
+    state incrementally (distinct-phash, which is not, stays in the batch
+    twin `__spark_entry__.q_images_tile_cells`)."""
+    from ..core.images import georef_lonlat
+    from ..functions.geocell import morton_cell
+
+    lon, lat = georef_lonlat(phash_col)
+    keyed = stream.withColumn("zkey", morton_cell(grid, lon, lat))
+    return keyed.groupBy("zkey").agg(
+        F.count("*").alias("n_images"),
+        F.round(F.avg(F.size(F.split(caption_col, " "))), 6).alias("avg_tokens"),
+        F.min(id_col).alias("first_image"),
+    )
+
+
 def streaming_quality(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """Stateless per-row projection — identical plan in batch and streaming."""
     from ..textops.quality import quality_scores, token_stats

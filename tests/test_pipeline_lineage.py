@@ -570,3 +570,42 @@ def test_streaming_sessionize_bridge_merge(spark, tmp_path):
     ]
     # ONE merged session of 3 events, not two sessions of 1 and 2
     assert got == [(1, 3, t0, t0 + 3000)]
+
+
+def test_streaming_tile_cells(spark, tmp_path):
+    # the north-star tile-assignment rollup folds incrementally: streaming
+    # state after availableNow == the batch rollup over the same image table
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.streaming import streaming_tile_cells
+
+    imgs = synthetic_images(spark, 200, partitions=4).select(
+        "image_id", "phash", "caption"
+    )
+    src = tmp_path / "img_src"
+    imgs.write.parquet(str(src))
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 5)
+
+    stream = spark.readStream.schema(imgs.schema).parquet(str(src))
+    q = (
+        streaming_tile_cells(stream, grid)
+        .writeStream.format("memory")
+        .queryName("cells_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.zkey: (r.n_images, r.avg_tokens, r.first_image)
+        for r in spark.sql("select * from cells_stream").collect()
+    }
+    # token counts are ints, so the avg is an exact double on both sides
+    batch = {
+        r.zkey: (r.n_images, r.avg_tokens, r.first_image)
+        for r in streaming_tile_cells(
+            spark.read.parquet(str(src)), grid
+        ).collect()
+    }
+    assert got == batch and sum(n for n, _, _ in got.values()) == 200
+    assert len(got) > 20  # zipf lat skew still spreads across many cells
