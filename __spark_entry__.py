@@ -474,12 +474,20 @@ def q_images_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 5)  # edge 1/32: exact binary
     keyed = pts.withColumn("zkey", morton_cell(grid, F.col("lon"), F.col("lat")))
+    # min over the numeric id, re-formatted after the agg: identical value
+    # (fixed-width formatting is monotonic) but every aggregate buffer is
+    # fixed-size, so Spark plans a HashAggregate instead of the string-min
+    # SortAggregate fallback (the same trick as uniquecoords' dictionary
+    # encoding; see PLANS.md "images_tile_cells")
     return keyed.groupBy("zkey").agg(
         F.count("*").alias("n_images"),
         F.countDistinct("phash").alias("n_phash"),
         F.round(F.avg(F.size(F.split("caption", " "))), 6).alias("avg_tokens"),
         F.round(F.avg(F.col("w") * F.col("h")), 6).alias("avg_pixels"),
-        F.min("image_id").alias("first_image"),
+        F.min(F.expr(_PHASH_IDX)).alias("_min_idx"),
+    ).select(
+        "zkey", "n_images", "n_phash", "avg_tokens", "avg_pixels",
+        F.format_string("img%08d", F.col("_min_idx")).alias("first_image"),
     )
 
 
@@ -534,8 +542,10 @@ def _images_tile_cells_oracle() -> str:
 def q_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image-workload kNN hot path (bench.py image stage) under the
     correctness gate: georeferenced image points through the cell-ladder
-    kNN join (broadcast_threshold=0 forces the 100-TB cell path), k=2
-    nearest other images per image.  Oracle: DuckDB brute-force cross join
+    kNN join (broadcast_threshold=0 AND finish_threshold=0 force the
+    100-TB cell path — with the defaults a 300-row input would take the
+    small-input finish route instead), k=2 nearest other images per image.
+    Oracle: DuckDB brute-force cross join
     over the same lon/lat doubles with the engine's (dist, s_id) tie-break
     — identical left-associated sqrt arithmetic, so ROUND agrees."""
     from geostatstransforms_jl_spark.core.images import georef_lonlat, synthetic_images
@@ -548,7 +558,10 @@ def q_images_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         lon.alias("x"),
         lat.alias("y"),
     )
-    out = knn_join(pts, pts.select("*"), k=2, exclude_same_id=True, broadcast_threshold=0)
+    out = knn_join(
+        pts, pts.select("*"), k=2, exclude_same_id=True,
+        broadcast_threshold=0, finish_threshold=0,
+    )
     return out.select(
         F.col("t_row_id").alias("t"),
         F.col("s_row_id").alias("s"),
