@@ -179,13 +179,31 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
     n_uc = unique_coords_df(pts.drop("image_id"), ("x", "y")).count()
     stage_t["unique"] = round(time.perf_counter() - t, 2)
     sec = time.perf_counter() - t0
+    # tile-assignment stage (the north-rule metric's literal unit, rows/sec):
+    # Morton cell key + per-cell rollup over the persisted anchors.  Measured
+    # AFTER `sec` is taken so images_per_sec stays comparable to the r2/r3
+    # snapshots; reported as its own stage + rows_per_sec figure.
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.functions.geocell import morton_cell
+
+    t = time.perf_counter()
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 8)
+    n_cells = (
+        pts.withColumn("zkey", morton_cell(grid, F.col("x"), F.col("y")))
+        .groupBy("zkey")
+        .agg(F.count("*").alias("n"), F.countDistinct("phash").alias("n_phash"))
+        .count()
+    )
+    cells_sec = time.perf_counter() - t
+    stage_t["cells"] = round(cells_sec, 2)
     pts.unpersist()
     return {
         "images": n_images,
         "sec": round(sec, 2),
         "stages": stage_t,
-        "rows": {"gradient": n_g, "knn": n_nn, "unique": n_uc},
+        "rows": {"gradient": n_g, "knn": n_nn, "unique": n_uc, "cells": n_cells},
         "images_per_sec": round(n_images / sec, 1),
+        "tile_assign_rows_per_sec": round(n_images / cells_sec, 1),
     }
 
 
