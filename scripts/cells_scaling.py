@@ -11,7 +11,32 @@ image_id/phash values to the bench's image table, the codec draws no RNG)
 and written to .scratch/ so the measured job is the realistic 100-TB shape:
 a table scan feeding codegen'd bit expressions and one aggregate Exchange.
 
-Usage: python scripts/cells_scaling.py [n_rows] [low] [high] [reps]
+Shuffle partitioning is FIXED across both levels (default: 2x the high
+level, overridable as argv[5]) so the two legs run the identical physical
+plan over identical partition sizes and only executor parallelism differs —
+the same comparison a real N -> 4N cluster run makes.  Tying partitions to
+the core count instead conflates two effects: at local[1] a single shuffle
+partition holding the whole countDistinct expand spills, which makes the
+low leg artificially slow and the efficiency super-linear (measured:
+1.048 at 128M rows with partitions=cores vs honest fixed-partition
+readings; the 2026-08-18 log pair is kept in BENCH/BASELINE.md).
+
+Three rollup modes decompose where the time goes at 100-TB shape:
+  exact   count + countDistinct(phash): the expand shuffle carries one row
+          per (cell, phash) pair — O(n) shuffle volume, the known
+          scale anti-pattern for high-cardinality distinct counts
+  approx  count + approx_count_distinct(phash): fixed-size HLL buffers,
+          map-side combine, shuffle volume O(cells) — the design this
+          engine would ship at 10^12 rows
+  count   count + sum: pure assignment + associative rollup (no distinct)
+
+`repeat` (argv[7]) unions k full scans of the same fixture into one job —
+an effective k*n-row input from an n-row fixture, amortizing fixed
+startup cost the way a genuinely larger table would, without hours of
+fixture synthesis (the bytes are decoded k times; only the OS page cache
+is shared, which a 100-TB scan would also enjoy per-file).
+
+Usage: python scripts/cells_scaling.py [n_rows] [low] [high] [reps] [shuffle_partitions] [mode] [repeat]
 """
 
 import json
@@ -25,6 +50,9 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
 LOW = sys.argv[2] if len(sys.argv) > 2 else "1"
 HIGH = sys.argv[3] if len(sys.argv) > 3 else "4"
 REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+SP = int(sys.argv[5]) if len(sys.argv) > 5 else 2 * int(HIGH)
+MODE = sys.argv[6] if len(sys.argv) > 6 else "exact"
+REPEAT = int(sys.argv[7]) if len(sys.argv) > 7 else 1
 FIXTURE = os.path.join(REPO, ".scratch", f"anchors_{N}")
 
 GEN = """
@@ -64,30 +92,40 @@ from geostatstransforms_jl_spark.core.session import get_spark
 from geostatstransforms_jl_spark.core.cells import CellGrid
 from geostatstransforms_jl_spark.functions.geocell import morton_cell
 
-cpus, path, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+cpus, path, n, sp, mode, repeat = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
+                                   int(sys.argv[4]), sys.argv[5],
+                                   int(sys.argv[6]))
 spark = get_spark(app=f"gst-cells-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=int(cpus))
+                  shuffle_partitions=sp)
 spark.range(10).count()  # JVM warm
 grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 8)
+distinct_agg = {
+    "exact": F.countDistinct("phash"),
+    "approx": F.approx_count_distinct("phash"),
+    "count": F.sum(F.shiftrightunsigned("phash", 32)),
+}[mode]
 t0 = time.perf_counter()
-res = (spark.read.parquet(path)
+scan = spark.read.parquet(path)
+for _ in range(repeat - 1):  # separate scan nodes: no file-index dedup
+    scan = scan.union(spark.read.parquet(path))
+res = (scan
        .withColumn("zkey", morton_cell(grid, F.col("x"), F.col("y")))
        .groupBy("zkey")
-       .agg(F.count("*").alias("n"), F.countDistinct("phash").alias("n_phash"))
+       .agg(F.count("*").alias("n"), distinct_agg.alias("n_phash"))
        .agg(F.sum("n"), F.count("*"), F.sum("n_phash"))
        .first())
 sec = time.perf_counter() - t0
-assert res[0] == n, f"row conservation: {res[0]} != {n}"
+assert res[0] == n * repeat, f"row conservation: {res[0]} != {n * repeat}"
 spark.stop()
 print("CELLS_JSON " + json.dumps({
     "cpus": int(cpus), "sec": round(sec, 2), "cells": res[1],
-    "distinct_phash_sum": res[2], "rows_per_sec": round(n / sec, 1)}))
+    "distinct_phash_sum": res[2], "rows_per_sec": round(n * repeat / sec, 1)}))
 """
 
 
 def run_level(cpus: str) -> dict:
     p = subprocess.run(
-        [sys.executable, "-c", WORKER % {"repo": REPO}, cpus, FIXTURE, str(N)],
+        [sys.executable, "-c", WORKER % {"repo": REPO}, cpus, FIXTURE, str(N), str(SP), MODE, str(REPEAT)],
         capture_output=True, text=True, cwd=REPO,
     )
     lines = [l for l in p.stdout.splitlines() if l.startswith("CELLS_JSON ")]
@@ -117,10 +155,17 @@ def main():
             print(f"rep {rep} local[{lvl}]: {r['sec']}s "
                   f"{r['rows_per_sec']} rows/s", flush=True)
     best = {lvl: max(rs, key=lambda r: r["rows_per_sec"]) for lvl, rs in runs.items()}
+    # output identity across parallelism levels (north rule): cell count and
+    # the rollup checksum must not depend on the executor count (HLL merge is
+    # commutative, so even approx mode is partition-order-invariant)
+    for fld in ("cells", "distinct_phash_sum"):
+        vals = {r[fld] for rs in runs.values() for r in rs}
+        assert len(vals) == 1, f"{fld} differs across levels: {vals}"
     ratio = int(HIGH) / int(LOW)
     eff = best[HIGH]["rows_per_sec"] / best[LOW]["rows_per_sec"] / ratio
     out = {
-        "stage": "tile_assignment_cells", "rows": N,
+        "stage": "tile_assignment_cells", "rows": N * REPEAT,
+        "shuffle_partitions": SP, "mode": MODE, "repeat": REPEAT,
         "low": best[LOW], "high": best[HIGH],
         "runs": {k: [r["sec"] for r in v] for k, v in runs.items()},
         "scaling_efficiency": round(eff, 3),
