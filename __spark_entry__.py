@@ -12,6 +12,8 @@ reproducible in both engines (never monotonically_increasing_id here).
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -367,7 +369,8 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the variant-planting spec shared by q_image_phash_neardup and its oracle:
-# images idx < 60 get a clone whose phash has 1–3 low-62 bits flipped; the
+# images idx < 60 get a clone whose phash has 1–3 of bits 0–62 flipped (the
+# `% 63` terms select among the 63 non-sign positions); the
 # mask is an OR of gated single-bit terms so coincident bit choices merge
 # identically on both sides
 _PHASH_IDX = "CAST(substring(image_id, 4, 8) AS INT)"
@@ -409,6 +412,7 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", "hamming")
 
 
+@functools.lru_cache(maxsize=2)
 def _image_literals(n: int = 300, seed: int = 42):
     """(image_id, phash, w, h, caption) rows of the synthetic input table —
     the input-defining make_image contract (encode skipped: the codec draws
@@ -788,9 +792,10 @@ def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame transformations: ONE scan of the text table and one hash
     aggregate end-to-end — the representative's attributes ride the dedup
     aggregate via `exact_dedup(carry=...)` (min(struct)), not a join back to
-    the input, which would scan the 100-TB table twice.  The filter compares
-    the ROUNDED quality so the engine and the DuckDB oracle make identical
-    boundary decisions (they agree to 1e-6 by the doc_quality contract)."""
+    the input, which would scan the 100-TB table twice.  The >=0.5 filter
+    compares the 6-dp-rounded quality that `quality_scores` itself emits
+    (quality.py applies F.round(_, 6) as the last step), so the engine and
+    the DuckDB oracle make identical boundary decisions."""
     from geostatstransforms_jl_spark.textops import (
         exact_dedup,
         quality_scores,
@@ -798,9 +803,7 @@ def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    scored = quality_scores(token_stats(docs)).withColumn(
-        "quality", F.round("quality", 6)
-    )
+    scored = quality_scores(token_stats(docs))
     kept = scored.filter(F.col("quality") >= 0.5)
     return exact_dedup(kept, carry=("n_tokens", "quality")).select(
         "doc_id", "dup_count", "n_tokens", "quality"
@@ -1972,14 +1975,17 @@ def _oracle_sql_base() -> dict[str, str]:
     }
 
 
-def _doc_quality_oracle() -> str:
-    """Mirrors textops.quality.quality_scores: POSIX punct class matches
-    Java's \\p{Punct} (both the ASCII punctuation set)."""
+def _quality_ctes() -> str:
+    """The d/m CTE text (tokenization + the 4-term quality formula of
+    textops.quality.quality_scores) shared by _doc_quality_oracle and
+    _docs_clean_pipeline_oracle — ONE definition so the two oracles cannot
+    drift.  POSIX punct class matches Java's \\p{Punct} (both the ASCII
+    punctuation set)."""
     from geostatstransforms_jl_spark.textops.quality import STOPWORDS
 
     en = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
     return rf"""
-        WITH d AS (
+        d AS (
           SELECT doc_id, text,
                  string_split_regex(trim(lower(text)), '\s+') AS w,
                  length(text) AS n_char,
@@ -1987,7 +1993,7 @@ def _doc_quality_oracle() -> str:
           FROM documents
         ),
         m AS (
-          SELECT doc_id,
+          SELECT doc_id, text,
                  len(w) AS n_tok,
                  n_char, punct,
                  len(list_filter(w, t -> list_contains([{en}], t))) * 1.0
@@ -1995,17 +2001,27 @@ def _doc_quality_oracle() -> str:
                  n_char * 1.0 / greatest(len(w), 1) AS mean_wlen,
                  punct * 1.0 / greatest(n_char, 1) AS punct_ratio
           FROM d
-        )
+        ),
+        scored AS (
+          SELECT doc_id, text, n_tok, stop_ratio, punct_ratio,
+                 ROUND((
+                   least(n_tok / 64.0, 1.0)
+                   + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 12 THEN 1.0 ELSE 0.3 END)
+                   + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.2 END)
+                   + least(stop_ratio * 4.0, 1.0)
+                 ) / 4.0, 6) AS quality
+          FROM m
+        )"""
+
+
+def _doc_quality_oracle() -> str:
+    return f"""
+        WITH {_quality_ctes()}
         SELECT doc_id,
                ROUND(stop_ratio, 6) AS stop_ratio,
                ROUND(punct_ratio, 6) AS punct_ratio,
-               ROUND((
-                 least(n_tok / 64.0, 1.0)
-                 + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 12 THEN 1.0 ELSE 0.3 END)
-                 + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.2 END)
-                 + least(stop_ratio * 4.0, 1.0)
-               ) / 4.0, 6) AS quality
-        FROM m
+               quality
+        FROM scored
     """
 
 
@@ -2014,33 +2030,12 @@ def _docs_clean_pipeline_oracle() -> str:
     6-dp-rounded quality (identical boundary decisions on both sides), exact
     dedup of the survivors with dedup_exact's normalization, then the
     representative's token count and quality."""
-    from geostatstransforms_jl_spark.textops.quality import STOPWORDS
-
-    en = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
     return rf"""
-        WITH d AS (
-          SELECT doc_id, text,
-                 string_split_regex(trim(lower(text)), '\s+') AS w,
-                 length(text) AS n_char,
-                 length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct
-          FROM documents
+        WITH {_quality_ctes()},
+        kept AS (
+          SELECT doc_id, text, n_tok AS n_tokens, quality
+          FROM scored WHERE quality >= 0.5
         ),
-        m AS (
-          SELECT doc_id, text,
-                 len(w) AS n_tokens,
-                 ROUND((
-                   least(len(w) / 64.0, 1.0)
-                   + (CASE WHEN n_char * 1.0 / greatest(len(w), 1) >= 3
-                            AND n_char * 1.0 / greatest(len(w), 1) <= 12
-                           THEN 1.0 ELSE 0.3 END)
-                   + (CASE WHEN punct * 1.0 / greatest(n_char, 1) <= 0.2
-                           THEN 1.0 ELSE 0.2 END)
-                   + least(len(list_filter(w, t -> list_contains([{en}], t)))
-                           * 1.0 / greatest(len(w), 1) * 4.0, 1.0)
-                 ) / 4.0, 6) AS quality
-          FROM d
-        ),
-        kept AS (SELECT * FROM m WHERE quality >= 0.5),
         g AS (
           SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
           FROM (

@@ -111,8 +111,9 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
         med["runs_sec"] = [r["sec"] for r in med_runs]
         # median beside best, same as the image workload (ADVICE r3)
         med["items_per_sec_best"] = med["items_per_sec"]
+        n_items = n_med + 2 * n_med + n_med
         med["items_per_sec_median"] = round(
-            statistics.median(r["items_per_sec"] for r in med_runs), 1
+            n_items / statistics.median(r["sec"] for r in med_runs), 1
         )
     # offline-recorded large-scale numbers (bench.py --knn2m writes this);
     # surfaced here so the driver snapshot carries them with provenance
@@ -188,12 +189,20 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
 
     t = time.perf_counter()
     grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 8)
-    n_cells = (
+    # consume every rollup column through a second summing aggregate — a bare
+    # .count() would let Catalyst prune count(*) AND the countDistinct expand
+    # out of the lower aggregate, timing a distinct-zkey job instead of the
+    # documented per-cell rollup (same shape as scripts/cells_scaling.py)
+    cell_totals = (
         pts.withColumn("zkey", morton_cell(grid, F.col("x"), F.col("y")))
         .groupBy("zkey")
         .agg(F.count("*").alias("n"), F.countDistinct("phash").alias("n_phash"))
-        .count()
+        .agg(F.count("*").alias("cells"), F.sum("n").alias("rows"),
+             F.sum("n_phash").alias("phash"))
+        .first()
     )
+    n_cells = cell_totals["cells"]
+    assert cell_totals["rows"] == n_images
     cells_sec = time.perf_counter() - t
     stage_t["cells"] = round(cells_sec, 2)
     pts.unpersist()

@@ -300,6 +300,11 @@ def hamming_neardup_pairs(
     qualifying pair collides in some band, so the banded equi-join + exact
     `bit_count(xor)` filter returns exactly the brute-force cross-join
     result without ever forming O(n²) candidates."""
+    # resolve the cap HERE so the reduced-recall warning names this function
+    # and dedups per user call site, not per the delegating line below
+    max_bucket_size = _resolve_cap(
+        max_bucket_size, "max_bucket_size", "hamming_neardup_pairs"
+    )
     sigs = df.select(F.col(id_col), F.col(sig_col).cast("long").alias("simhash"))
     return simhash_pairs(sigs, id_col, max_hamming, bands, max_bucket_size)
 
