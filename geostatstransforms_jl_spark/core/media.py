@@ -117,6 +117,13 @@ def unpack_video(data: bytes, indices=None) -> list:
             "and the plumbing (schema, seek-skip, batch shape) is identical"
         )
     n_frames, _w, _h, _fps = struct.unpack(">IIId", data[4:24])
+    if indices is not None:
+        bad = [i for i in indices if not 0 <= i < n_frames]
+        if bad:
+            raise IndexError(
+                f"unpack_video: frame indices {bad} out of range for a "
+                f"{n_frames}-frame container"
+            )
     want = set(range(n_frames)) if indices is None else set(indices)
     pos = 24
     out = []

@@ -45,6 +45,7 @@ Output columns: targets prefixed ``t_``, sources prefixed ``s_``, plus
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -123,7 +124,12 @@ def _metric_join(join_fn, targets, sources, t_coords, s_coords,
         s_carry=tuple(dict.fromkeys([*sc, *s_carry])),
         **kw,
     )
-    return out.drop(*[f"t_{c}" for c in mcols], *[f"s_{c}" for c in mcols])
+    res = out.drop(*[f"t_{c}" for c in mcols], *[f"s_{c}" for c in mcols])
+    # propagate the materialization marker across the Project: a drop() over
+    # a checkpointed result is a narrow projection, so "already materialized"
+    # stays true for the re-checkpoint decision in _selfjoin_dedup_1nn
+    res._gst_materialized = getattr(out, "_gst_materialized", False)
+    return res
 
 
 def _union_bounds_and_counts(a: DataFrame, ac, b: DataFrame, bc):
@@ -637,11 +643,27 @@ def _selfjoin_dedup_1nn(
     # instead of re-deriving the routing conditions (ADVICE r3); the lazy
     # routes only trigger on small reduced sides, so the eager checkpoint
     # there is a bounded narrow write.
-    if not getattr(inner, "_gst_materialized", False):
+    mat = getattr(inner, "_gst_materialized", None)
+    if mat is None:
+        # knn_join always stamps the marker on its returns; a missing marker
+        # means some interposed transformation rebuilt the DataFrame and
+        # dropped the Python-side attribute.  The conservative re-checkpoint
+        # below stays CORRECT either way — warn so the silent perf
+        # degradation (a second full-result write) is observable.
+        warnings.warn(
+            "_selfjoin_dedup_1nn: knn_join result lost its materialization "
+            "marker (interposed transformation?); re-checkpointing "
+            "conservatively",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if not mat:
         inner = inner.localCheckpoint(eager=True)
     pile_out = pile_out.localCheckpoint(eager=True)
     marked.unpersist()
-    return pile_out.unionByName(inner.select(*pile_out.columns))
+    out = pile_out.unionByName(inner.select(*pile_out.columns))
+    out._gst_materialized = False  # the union itself is lazy (cheap: both legs are checkpointed)
+    return out
 
 
 def knn_join(
@@ -736,11 +758,15 @@ def knn_join(
     if n_sources == 0:
         raise ValueError("knn_join: empty source side")
     if n_sources <= broadcast_threshold:
-        return _broadcast_knn(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
+        out = _broadcast_knn(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
+        out._gst_materialized = False  # lazy route: marker always present
+        return out
     if n_targets <= finish_threshold:
         # few targets, many sources (e.g. InterpolateNeighbors onto a small
         # domain): one streaming scan beats building the cell index
-        return _bcast_targets_scan(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
+        out = _bcast_targets_scan(t, s, k, tid, sid, tc, sc, exclude_same_id, max_radius)
+        out._gst_materialized = False
+        return out
     base_res = C.pick_resolution_by_count(n_sources, rows_per_cell or max(4, k), ndim)
     # skew guard: refine until the densest cell is bounded (see
     # _adaptive_cell_grid).  cap bounds ring-1 candidates per target at

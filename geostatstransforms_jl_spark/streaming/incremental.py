@@ -107,22 +107,38 @@ def streaming_tile_cells(
     phash_col: str = "phash",
     caption_col: str = "caption",
     id_col: str = "image_id",
+    id_index_expr=None,
+    id_format: str = "img%08d",
 ) -> DataFrame:
     """The north-star tile-assignment rollup over an append stream of
     input-shaped image rows: phash georeference → Morton cell key → per-cell
-    (count, caption-token average, first image id).  All aggregates are
-    associative, so new image partitions fold into the standing per-cell
+    (count, caption-token average, representative image id).  All aggregates
+    are associative, so new image partitions fold into the standing per-cell
     state incrementally (distinct-phash, which is not, stays in the batch
-    twin `__spark_entry__.q_images_tile_cells`)."""
+    twin `__spark_entry__.q_images_tile_cells`).
+
+    The representative is min over a NUMERIC id index, re-formatted after
+    the aggregate — a `min(string)` would carry a var-length buffer and fall
+    back to the sort-based aggregate (the exact plan regression the batch
+    twin engineered away; PLANS.md "images_tile_cells"), paid per
+    micro-batch here.  `id_index_expr` defaults to the trailing digits of
+    the canonical `img%08d` ids; pass your own numeric Column (+ matching
+    `id_format`) for other id schemes — ids with no trailing digits yield a
+    NULL representative, which is the observable signal to do so."""
     from ..core.images import georef_lonlat
     from ..functions.geocell import morton_cell
 
+    if id_index_expr is None:
+        id_index_expr = F.regexp_extract(F.col(id_col), r"(\d+)$", 1).cast("long")
     lon, lat = georef_lonlat(phash_col)
     keyed = stream.withColumn("zkey", morton_cell(grid, lon, lat))
     return keyed.groupBy("zkey").agg(
         F.count("*").alias("n_images"),
         F.round(F.avg(F.size(F.split(caption_col, " "))), 6).alias("avg_tokens"),
-        F.min(id_col).alias("first_image"),
+        F.min(id_index_expr).alias("_min_idx"),
+    ).select(
+        "zkey", "n_images", "avg_tokens",
+        F.format_string(id_format, F.col("_min_idx")).alias("first_image"),
     )
 
 

@@ -8,10 +8,12 @@ Usage: python scripts/media_scaling.py [n_videos] [low] [high] [reps]
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 LOW = sys.argv[2] if len(sys.argv) > 2 else "1"
 HIGH = sys.argv[3] if len(sys.argv) > 3 else "4"
@@ -19,6 +21,7 @@ REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
 WORKER = """
 import json, sys, time
+sys.path.insert(0, %(repo)r)
 from geostatstransforms_jl_spark.core.session import get_spark
 import bench
 
@@ -35,8 +38,8 @@ print("MEDIA_JSON " + json.dumps({"cpus": int(cpus), **out}))
 
 def run_level(cpus: str) -> dict:
     p = subprocess.run(
-        [sys.executable, "-c", WORKER, cpus, str(N)],
-        capture_output=True, text=True,
+        [sys.executable, "-c", WORKER % {"repo": REPO}, cpus, str(N)],
+        capture_output=True, text=True, cwd=REPO,
     )
     lines = [l for l in p.stdout.splitlines() if l.startswith("MEDIA_JSON ")]
     if p.returncode != 0 or not lines:
