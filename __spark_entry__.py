@@ -468,7 +468,7 @@ def q_images_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Morton spreading, token split, aggregates — recomputed in DuckDB SQL."""
     from geostatstransforms_jl_spark.core.cells import CellGrid
     from geostatstransforms_jl_spark.core.images import georef_lonlat, synthetic_images
-    from geostatstransforms_jl_spark.functions.geocell import morton_cell
+    from geostatstransforms_jl_spark.functions.geocell import tile_cells
 
     images = synthetic_images(spark, 300, partitions=8)
     lon, lat = georef_lonlat("phash")
@@ -477,20 +477,26 @@ def q_images_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         lon.alias("lon"), lat.alias("lat"),
     )
     grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 5)  # edge 1/32: exact binary
-    keyed = pts.withColumn("zkey", morton_cell(grid, F.col("lon"), F.col("lat")))
     # min over the numeric id, re-formatted after the agg: identical value
     # (fixed-width formatting is monotonic) but every aggregate buffer is
     # fixed-size, so Spark plans a HashAggregate instead of the string-min
     # SortAggregate fallback (the same trick as uniquecoords' dictionary
-    # encoding; see PLANS.md "images_tile_cells")
-    return keyed.groupBy("zkey").agg(
-        F.count("*").alias("n_images"),
-        F.countDistinct("phash").alias("n_phash"),
-        F.round(F.avg(F.size(F.split("caption", " "))), 6).alias("avg_tokens"),
-        F.round(F.avg(F.col("w") * F.col("h")), 6).alias("avg_pixels"),
-        F.min(F.expr(_PHASH_IDX)).alias("_min_idx"),
+    # encoding; see PLANS.md "images_tile_cells").  exact_distinct is the
+    # right call here: ≤300 phashes per cell (the approx-vs-exact scale
+    # trade-off is tile_cells' docstring + BENCH/BASELINE.md)
+    return tile_cells(
+        pts, grid, coords=("lon", "lat"), distinct_col="phash",
+        exact_distinct=True,
+        aggs=(
+            F.round(F.avg(F.size(F.split("caption", " "))), 6).alias("avg_tokens"),
+            F.round(F.avg(F.col("w") * F.col("h")), 6).alias("avg_pixels"),
+            F.min(F.expr(_PHASH_IDX)).alias("_min_idx"),
+        ),
     ).select(
-        "zkey", "n_images", "n_phash", "avg_tokens", "avg_pixels",
+        "zkey",
+        F.col("n_rows").alias("n_images"),
+        F.col("n_distinct").alias("n_phash"),
+        "avg_tokens", "avg_pixels",
         F.format_string("img%08d", F.col("_min_idx")).alias("first_image"),
     )
 

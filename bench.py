@@ -185,20 +185,18 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
     # AFTER `sec` is taken so images_per_sec stays comparable to the r2/r3
     # snapshots; reported as its own stage + rows_per_sec figure.
     from geostatstransforms_jl_spark.core.cells import CellGrid
-    from geostatstransforms_jl_spark.functions.geocell import morton_cell
+    from geostatstransforms_jl_spark.functions.geocell import tile_cells
 
     t = time.perf_counter()
     grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 8)
     # consume every rollup column through a second summing aggregate — a bare
-    # .count() would let Catalyst prune count(*) AND the countDistinct expand
-    # out of the lower aggregate, timing a distinct-zkey job instead of the
+    # .count() would let Catalyst prune count(*) AND the countDistinct out of
+    # the lower aggregate, timing a distinct-zkey job instead of the
     # documented per-cell rollup (same shape as scripts/cells_scaling.py)
     cell_totals = (
-        pts.withColumn("zkey", morton_cell(grid, F.col("x"), F.col("y")))
-        .groupBy("zkey")
-        .agg(F.count("*").alias("n"), F.countDistinct("phash").alias("n_phash"))
-        .agg(F.count("*").alias("cells"), F.sum("n").alias("rows"),
-             F.sum("n_phash").alias("phash"))
+        tile_cells(pts, grid, distinct_col="phash", exact_distinct=True)
+        .agg(F.count("*").alias("cells"), F.sum("n_rows").alias("rows"),
+             F.sum("n_distinct").alias("phash"))
         .first()
     )
     n_cells = cell_totals["cells"]

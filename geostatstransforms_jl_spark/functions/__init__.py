@@ -1,4 +1,14 @@
+from .geocell import morton_cell, tile_cells, zorder_repartition
 from .knn import knn_join, metric_cholesky, radius_join
 from .timeseries import sessionize, time_rollup
 
-__all__ = ["knn_join", "metric_cholesky", "radius_join", "sessionize", "time_rollup"]
+__all__ = [
+    "knn_join",
+    "metric_cholesky",
+    "morton_cell",
+    "radius_join",
+    "sessionize",
+    "tile_cells",
+    "time_rollup",
+    "zorder_repartition",
+]

@@ -129,3 +129,58 @@ def test_zorder_write_prunes_scan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "GreaterThanOrEqual(zkey" in plan
+
+
+def test_tile_cells_rollup_and_plans(spark):
+    from geostatstransforms_jl_spark.functions.geocell import tile_cells
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    rows = [
+        (float(x), float(y), int(p))
+        for x, y, p in zip(
+            rng.random(n), rng.random(n), rng.integers(0, 800, n)
+        )
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, phash long")
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 3)  # 64 cells
+
+    exact = tile_cells(df, grid, distinct_col="phash", exact_distinct=True,
+                       aggs=(F.min("phash").alias("min_phash"),))
+    got = {r.zkey: (r.n_rows, r.n_distinct, r.min_phash) for r in exact.collect()}
+    # independent replay
+    import collections
+    import re
+
+    exp_rows = collections.Counter()
+    exp_set, exp_min = collections.defaultdict(set), {}
+    # use the engine's keying once (already verified vs py_morton above),
+    # replay only the AGGREGATES independently
+    keyed = df.withColumn("zkey", morton_cell(grid, F.col("x"), F.col("y")))
+    for r in keyed.collect():
+        exp_rows[r.zkey] += 1
+        exp_set[r.zkey].add(r.phash)
+        exp_min[r.zkey] = min(exp_min.get(r.zkey, 1 << 62), r.phash)
+    assert got == {
+        k: (exp_rows[k], len(exp_set[k]), exp_min[k]) for k in exp_rows
+    }
+
+    # exact distinct dedups map-side on (zkey, phash) — an aggregate keyed
+    # by BOTH columns, O(n) shuffle rows over ~unique values; approx must
+    # NOT: fixed-width HLL buffers keyed by zkey alone keep the whole
+    # rollup one hash aggregate with O(cells) shuffle volume
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    pair_keyed = re.compile(r"keys=\[zkey#\d+L?, phash")
+    assert pair_keyed.search(exact_plan)
+
+    approx = tile_cells(df, grid, distinct_col="phash")
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert not pair_keyed.search(approx_plan)
+    assert "SortAggregate" not in approx_plan
+    assert "HashAggregate" in approx_plan
+
+    # HLL estimates within its documented rsd on every cell, exact elsewhere
+    a = {r.zkey: (r.n_rows, r.n_distinct) for r in approx.collect()}
+    assert {k: v[0] for k, v in a.items()} == dict(exp_rows)
+    for k, (_, nd) in a.items():
+        assert abs(nd - len(exp_set[k])) <= max(3, 0.15 * len(exp_set[k]))
