@@ -111,7 +111,7 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
         med["runs_sec"] = [r["sec"] for r in med_runs]
         # median beside best, same as the image workload (ADVICE r3)
         med["items_per_sec_best"] = med["items_per_sec"]
-        n_items = n_med + 2 * n_med + n_med
+        n_items = med["videos"] + med["audio"] + med["resize"]
         med["items_per_sec_median"] = round(
             n_items / statistics.median(r["sec"] for r in med_runs), 1
         )
@@ -200,7 +200,11 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
         .first()
     )
     n_cells = cell_totals["cells"]
-    assert cell_totals["rows"] == n_images
+    if cell_totals["rows"] != n_images:
+        raise RuntimeError(
+            f"cells rollup consumed {cell_totals['rows']} rows, "
+            f"expected {n_images}"
+        )
     cells_sec = time.perf_counter() - t
     stage_t["cells"] = round(cells_sec, 2)
     pts.unpersist()

@@ -118,6 +118,7 @@ def unpack_video(data: bytes, indices=None) -> list:
         )
     n_frames, _w, _h, _fps = struct.unpack(">IIId", data[4:24])
     if indices is not None:
+        indices = list(indices)  # tolerate one-shot iterators: validate + use
         bad = [i for i in indices if not 0 <= i < n_frames]
         if bad:
             raise IndexError(

@@ -127,8 +127,13 @@ def _metric_join(join_fn, targets, sources, t_coords, s_coords,
     res = out.drop(*[f"t_{c}" for c in mcols], *[f"s_{c}" for c in mcols])
     # propagate the materialization marker across the Project: a drop() over
     # a checkpointed result is a narrow projection, so "already materialized"
-    # stays true for the re-checkpoint decision in _selfjoin_dedup_1nn
-    res._gst_materialized = getattr(out, "_gst_materialized", False)
+    # stays true for the re-checkpoint decision in _selfjoin_dedup_1nn.
+    # Propagate ABSENCE too (don't default to False): an unstamped join_fn
+    # must stay observable as marker-less downstream, not look like a
+    # deliberate lazy route
+    mat = getattr(out, "_gst_materialized", None)
+    if mat is not None:
+        res._gst_materialized = mat
     return res
 
 

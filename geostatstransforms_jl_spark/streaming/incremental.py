@@ -129,7 +129,10 @@ def streaming_tile_cells(
     from ..functions.geocell import morton_cell
 
     if id_index_expr is None:
-        id_index_expr = F.regexp_extract(F.col(id_col), r"(\d+)$", 1).cast("long")
+        # try_cast: regexp_extract yields '' on no-match, and a plain cast of
+        # '' THROWS under ANSI mode (Spark 4 default) — the contract is a
+        # NULL representative, not a failed micro-batch
+        id_index_expr = F.regexp_extract(F.col(id_col), r"(\d+)$", 1).try_cast("long")
     lon, lat = georef_lonlat(phash_col)
     keyed = stream.withColumn("zkey", morton_cell(grid, lon, lat))
     return keyed.groupBy("zkey").agg(
@@ -138,7 +141,11 @@ def streaming_tile_cells(
         F.min(id_index_expr).alias("_min_idx"),
     ).select(
         "zkey", "n_images", "avg_tokens",
-        F.format_string(id_format, F.col("_min_idx")).alias("first_image"),
+        # format_string renders a NULL arg as the literal text "null" —
+        # guard so a cell with no parseable id yields a NULL representative
+        F.when(F.col("_min_idx").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.format_string(id_format, F.col("_min_idx")))
+        .alias("first_image"),
     )
 
 

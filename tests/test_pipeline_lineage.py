@@ -609,3 +609,22 @@ def test_streaming_tile_cells(spark, tmp_path):
     }
     assert got == batch and sum(n for n, _, _ in got.values()) == 200
     assert len(got) > 20  # zipf lat skew still spreads across many cells
+
+
+def test_streaming_tile_cells_non_numeric_ids(spark):
+    # ids without trailing digits must yield a NULL representative (the
+    # documented signal to pass id_index_expr), not an ANSI cast crash
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.streaming import streaming_tile_cells
+
+    df = spark.createDataFrame(
+        [("thumb_a", 123456789, "two words"), ("img00000007", 123456789, "x")],
+        "image_id string, phash long, caption string",
+    )
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 3)
+    rows = streaming_tile_cells(df, grid).collect()
+    assert len(rows) == 1 and rows[0].n_images == 2
+    assert rows[0].first_image == "img00000007"  # min ignores the NULL idx
+
+    only_bad = streaming_tile_cells(df.filter(F.col("image_id") == "thumb_a"), grid)
+    assert only_bad.collect()[0].first_image is None
