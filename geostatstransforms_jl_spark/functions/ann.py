@@ -111,7 +111,7 @@ def cosine_pairs(
                           "b": pd.Series(dtype="int64"),
                           "cosine": pd.Series(dtype="float64")})
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ba, bb = key
         a_side = pdf[pdf["_blk"] == ba]
         if len(a_side) == 0 or (ba != bb and (pdf["_blk"] == bb).sum() == 0):
