@@ -46,11 +46,11 @@ def test_exact_dedup(spark, docs):
 def test_minhash_pipeline(spark, docs):
     sigs = minhash_signatures(docs, k=64, shingle=3)
     assert sigs.count() == 5
-    pairs = minhash_lsh_pairs(sigs, bands=16, rows=4, threshold=0.5)
+    pairs = minhash_lsh_pairs(sigs, bands=16, rows=4, threshold=0.5, max_bucket_size=None)
     got = {(r.a, r.b): r.est_jaccard for r in pairs.collect()}
     assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
     assert (0, 2) in got or (1, 2) in got  # near dup shares most shingles
-    kept = minhash_dedup(docs, threshold=0.5)
+    kept = minhash_dedup(docs, threshold=0.5, max_bucket_size=None)
     ids = {r.doc_id for r in kept.collect()}
     assert 0 in ids and 1 not in ids
     assert 3 in ids and 4 in ids
@@ -60,7 +60,7 @@ def test_simhash(spark, docs):
     sigs = simhash_64(docs)
     by_id = {r.doc_id: r.simhash for r in sigs.collect()}
     assert by_id[0] == by_id[1]  # identical text → identical signature
-    pairs = simhash_pairs(sigs, max_hamming=16)
+    pairs = simhash_pairs(sigs, max_hamming=16, max_bucket_size=None)
     got = {(r.a, r.b) for r in pairs.collect()}
     assert (0, 1) in got
 
@@ -72,7 +72,7 @@ def test_simhash_banding_rejects_lossy_config(spark, docs):
 
     sigs = simhash_64(docs)
     with _pt.raises(AssertionError):
-        simhash_pairs(sigs, max_hamming=10, bands=4)
+        simhash_pairs(sigs, max_hamming=10, bands=4, max_bucket_size=None)
 
 
 def test_simhash_recall_vs_bruteforce(spark):
@@ -99,14 +99,14 @@ def test_simhash_recall_vs_bruteforce(spark):
             for i, j in zip(iu[ham[iu, ju] <= max_h], ju[ham[iu, ju] <= max_h])
         }
         got_rows = simhash_pairs(
-            spark.createDataFrame(sigs), max_hamming=max_h
+            spark.createDataFrame(sigs), max_hamming=max_h, max_bucket_size=None
         ).collect()
         got = {(r.a, r.b) for r in got_rows}
         assert got == want, f"max_hamming={max_h}: {len(got)} vs {len(want)}"
 
 
 def test_ngram_jaccard_exact(spark, docs):
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=None)
     got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
     assert got[(0, 1)] == pytest.approx(1.0)
     # doc2 differs in one word → 3 of 10 distinct 3-grams change
@@ -151,7 +151,8 @@ def test_ngram_stop_shingle_cap(spark):
         [(0, "a b c d e f"), (1, "a b c d e g"), (2, "x y z w v u")],
         "doc_id long, text string",
     )
-    a = sorted(ngram_jaccard_pairs(small, n=3, threshold=0.1).collect())
+    with pytest.warns(RuntimeWarning, match="max_shingle_df=1000"):
+        a = sorted(ngram_jaccard_pairs(small, n=3, threshold=0.1).collect())
     b = sorted(ngram_jaccard_pairs(small, n=3, threshold=0.1, max_shingle_df=None).collect())
     assert a == b
 
