@@ -107,7 +107,9 @@ def mode_expr(col: str, dtype: T.DataType) -> Column:
     shuffle).
     """
 
-    def _mode(v: pd.Series):
+    # Series -> scalar type hints mark this as a grouped-agg UDF (the
+    # PandasUDFType enum registration is deprecated, SPARK-28264)
+    def _mode(v: pd.Series) -> object:
         v = v.dropna()
         if v.empty:
             return None
@@ -115,7 +117,7 @@ def mode_expr(col: str, dtype: T.DataType) -> Column:
         top = counts.max()
         return min(c for c, n in counts.items() if n == top)
 
-    udaf = F.pandas_udf(_mode, dtype, F.PandasUDFType.GROUPED_AGG)
+    udaf = F.pandas_udf(_mode, dtype)
     return udaf(F.col(col))
 
 
@@ -302,13 +304,13 @@ def resolve_aggs(
             ret = dtypes[c]
 
             def _wrap(fn=spec, ret=ret):
-                def _udaf(v: pd.Series):
+                def _udaf(v: pd.Series) -> object:
                     v = v.dropna()
                     if v.empty:
                         return None
                     return fn(v)
 
-                return F.pandas_udf(_udaf, ret, F.PandasUDFType.GROUPED_AGG)
+                return F.pandas_udf(_udaf, ret)
 
             out[c] = _wrap()(F.col(c)).alias(c)
             pandas_cols.append(c)
