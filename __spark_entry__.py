@@ -1206,7 +1206,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is CURATED for the driver's 50-slot correctness window.
+
+    The driver verifies the first 50 entries in dict order against the
+    oracles, so ordering is evidence policy, not cosmetics:
+
+    * slots 1-2: queries that have NEVER had a driver-green row
+      (``metric_knn``/``metric_radius`` as of r05) go first;
+    * slots 3-9: queries whose last driver-green row is from an older
+      snapshot (rotated out of the r04 window) come next;
+    * remaining slots: one representative per operator family, freshest
+      evidence first;
+    * positions 51+: near-duplicate variants of queries already inside the
+      window (3-D twins, roundtrip twins, extra doc-quality views) — each has
+      a dated driver-green row (r04) and full pytest coverage, and rotates
+      back in whenever a window slot frees up.
+    """
     return {
+        # -- never driver-verified before r05 --------------------------------
+        "metric_knn": q_metric_knn,
+        "metric_radius": q_metric_radius,
+        # -- last driver-green in r03; rotated out of the r04 window ---------
+        "gradient_3d": q_gradient_3d,
+        "units_convert": q_units_convert,
+        "pip_spatial_join": q_pip_spatial_join,
+        "zorder_cells": q_zorder_cells,
+        "radius_pairs": q_radius_pairs,
+        "radius3d_pairs": q_radius3d_pairs,
+        "kball_neighbors": q_kball_neighbors,
+        # -- stable greens: one representative per operator family -----------
         "uniquecoords": q_uniquecoords,
         "upscale": q_upscale,
         "downscale": q_downscale,
@@ -1217,19 +1245,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "droplocal_outliers": q_droplocal,
         "gradient": q_gradient,
         "rasterize_points": q_rasterize_points,
+        "rasterize_polygons": q_rasterize_polygons,
         "interp_neighbors_idw": q_interp_neighbors_idw,
+        "kriging_neighbors": q_kriging_neighbors,
+        "detrend": q_detrend,
         "slic_clusters": q_slic,
         "slic_cells": q_slic_cells,
         "ghc_clusters": q_ghc,
         "gsc_clusters": q_gsc,
+        "modefilter": q_modefilter,
+        "maxposterior": q_maxposterior,
+        "quenching": q_quenching,
         "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embed_neardup": q_embed_neardup,
         "image_gradient": q_image_gradient,
         "image_phash_neardup": q_image_phash_neardup,
         "images_tile_cells": q_images_tile_cells,
@@ -1238,34 +1272,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
         "audio_rms": q_audio_rms,
-        "potrace_roundtrip": q_potrace_roundtrip,
-        "detrend": q_detrend,
-        "nn_interpolate": q_nn_interpolate,
-        "kriging_neighbors": q_kriging_neighbors,
-        "modefilter": q_modefilter,
-        "maxposterior": q_maxposterior,
-        "quenching": q_quenching,
-        "embed_neardup": q_embed_neardup,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "doc_quality": q_doc_quality,
         "docs_clean_pipeline": q_docs_clean_pipeline,
         "doc_fingerprint": q_doc_fingerprint,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
-        "rasterize_polygons": q_rasterize_polygons,
-        "detrend_roundtrip": q_detrend_roundtrip,
-        "uniquecoords_3d": q_uniquecoords_3d,
-        "knn3d_transfer": q_knn3d_transfer,
-        "idw3d_neighbors": q_idw3d_neighbors,
-        "gradient_3d": q_gradient_3d,
-        "units_convert": q_units_convert,
-        "pip_spatial_join": q_pip_spatial_join,
-        "zorder_cells": q_zorder_cells,
-        "radius_pairs": q_radius_pairs,
-        "radius3d_pairs": q_radius3d_pairs,
-        "kball_neighbors": q_kball_neighbors,
-        "metric_knn": q_metric_knn,
-        "metric_radius": q_metric_radius,
+        # ==== 50-slot window boundary (driver checks entries above) =========
+        # -- r04-green near-duplicates of queries inside the window ----------
+        "token_stats": q_token_stats,  # subset of docs_clean_pipeline stats
+        "lang_id": q_lang_id,  # ditto
+        "doc_quality": q_doc_quality,  # ditto
+        "nn_interpolate": q_nn_interpolate,  # idw_interpolate, NN model
+        "potrace_roundtrip": q_potrace_roundtrip,  # image_potrace + revert
+        "detrend_roundtrip": q_detrend_roundtrip,  # detrend + revert
+        "uniquecoords_3d": q_uniquecoords_3d,  # uniquecoords, 3-D twin
+        "knn3d_transfer": q_knn3d_transfer,  # knn_transfer, 3-D twin
+        "idw3d_neighbors": q_idw3d_neighbors,  # interp_neighbors, 3-D twin
     }
 
 
