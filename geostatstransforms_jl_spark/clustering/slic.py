@@ -25,7 +25,17 @@ shuffle on cell keys per Lloyd iteration.  Both paths share the dt formula
 term-for-term and the exact squared-radius filter, so labels are identical
 (asserted in tests/test_clustering.py).  Each Lloyd iteration is one job
 over the points: `min_by(struct(dt, k))` per point merged with the previous
-best, then a `groupBy(label)` medoid update whose k-row result is collected.
+best, then a `groupBy(label)` medoid update.
+
+Center state is a DISTRIBUTED k-row DataFrame ``(k, rid)`` for the whole
+run: initial labels come from a `row_number` over first-lattice-occurrence
+(one k-row window, single partition by construction — k rows, not n), the
+per-iteration center attribute lookup is a broadcast semi-join of that map
+against the standardized points, and the medoid refresh is a
+`join + coalesce` of two k-row frames.  NOTHING center-shaped is collected
+to the driver and no plan carries a k-literal `In` list, so the advertised
+superpixel-scale k (10⁴–10⁶) neither bloats the driver nor the query plan
+(plan-asserted in tests/test_clustering.py::test_slic_plan_has_no_k_literal_in).
 State persists via localCheckpoint to keep the lineage flat across
 iterations.
 """
@@ -86,6 +96,7 @@ def slic_df(
     coord_cols=("x", "y"),
     row_id: str = "row_id",
     assign_via_cells: bool = False,
+    _plan_probe=None,
 ) -> DataFrame:
     """Returns (row_id, *coord_cols, label) with labels 1..#centers.
 
@@ -132,33 +143,33 @@ def slic_df(
         t_id="n", s_id=row_id, t_coords=coords, s_coords=coords,
         salt_threshold=None,
     )
-    snapped = {r["t_n"]: r[f"s_{row_id}"] for r in snap.collect()}
-    seen, center_ids = set(), []
-    for n, *_ in lattice:
-        rid = snapped[n]
-        if rid not in seen:
-            seen.add(rid)
-            center_ids.append(rid)
+    # center k = order of FIRST lattice occurrence of the snapped row
+    # (reference's product-order dedup, src/clustering/slic.jl:145-163),
+    # computed distributed: min lattice index per row, then a row_number over
+    # the ≤k survivors (single k-row window, never n rows).
+    cmap = (
+        snap.groupBy(F.col(f"s_{row_id}").alias("rid"))
+        .agg(F.min("t_n").alias("first_n"))
+        .select(
+            F.row_number().over(Window.orderBy("first_n")).alias("k"),
+            "rid",
+        )
+        .localCheckpoint()
+    )
 
     wvec = [float((weights or {}).get(c, 1.0)) for c in feats]
 
-    def centers_df(ids):
-        rows = d.filter(F.col(row_id).isin([int(i) for i in ids])).collect()
-        bykey = {r[row_id]: r for r in rows}
-        data = [
-            (
-                ki + 1,
-                *[float(bykey[i][c]) for c in coords],
-                *[float(bykey[i][c]) for c in feats],
+    def centers_df(cm: DataFrame) -> DataFrame:
+        """(k, kc_*, kf_*) via a broadcast semi-join of the k-row center map
+        against the standardized points — no isin literals, no collect."""
+        return (
+            d.join(F.broadcast(cm), d[row_id] == cm["rid"])
+            .select(
+                "k",
+                *[F.col(c).alias(f"kc_{j}") for j, c in enumerate(coords)],
+                *[F.col(c).alias(f"kf_{c}") for c in feats],
             )
-            for ki, i in enumerate(ids)
-        ]
-        schema = (
-            "k int"
-            + "".join(f", kc_{j} double" for j in range(len(coords)))
-            + "".join(f", kf_{c} double" for c in feats)
         )
-        return spark.createDataFrame(data, schema)
 
     state = d.select(
         row_id, *coords, *feats,
@@ -166,9 +177,8 @@ def slic_df(
     ).localCheckpoint()
 
     delta_cur = float("inf")
-    ids = center_ids
     for _ in range(maxiter):
-        cdf = centers_df(ids)
+        cdf = centers_df(cmap)
         ds2 = F.lit(0.0)
         for j, c in enumerate(coords):
             ds2 = ds2 + (F.col(c) - F.col(f"kc_{j}")) ** 2
@@ -207,6 +217,8 @@ def slic_df(
         else:
             cand = state.crossJoin(F.broadcast(cdf))
         cand = cand.filter(ds2 <= F.lit(s_max * s_max)).withColumn("dt", dt)
+        if _plan_probe is not None:
+            _plan_probe(cand)
         best = cand.groupBy(row_id).agg(
             F.min(F.struct(F.col("dt").alias("d"), F.col("k").alias("k"))).alias("b")
         ).select(row_id, F.col("b.d").alias("nd"), F.col("b.k").alias("nk"))
@@ -225,15 +237,20 @@ def slic_df(
         for j, c in enumerate(coords):
             dm2 = dm2 + (F.col(c) - F.col(f"m_{j}")) ** 2
         med = (
-            state.join(means, "label")
+            state.join(F.broadcast(means), "label")
             .withColumn("dm", F.sqrt(dm2))
             .groupBy("label")
             .agg(F.min(F.struct(F.col("dm"), F.col(row_id).alias("rid"))).alias("b"))
-            .select("label", F.col("b.rid").alias("rid"))
-            .collect()
+            .select("label", F.col("b.rid").alias("mrid"))
         )
-        medoid = {r["label"]: r["rid"] for r in med}
-        ids = [medoid.get(ki + 1, i) for ki, i in enumerate(ids)]
+        # labels with no assigned points keep their previous center (the
+        # reference's `get(medoid, k, old)` fallback) — a k-row left join,
+        # nothing collected.
+        cmap = (
+            cmap.join(med, cmap["k"] == med["label"], "left")
+            .select("k", F.coalesce("mrid", "rid").alias("rid"))
+            .localCheckpoint()
+        )
 
         delta_new = state.agg(F.avg("dist")).first()[0]
         if delta_cur not in (0.0,) and delta_new is not None and math.isfinite(delta_new) and math.isfinite(delta_cur):

@@ -334,3 +334,35 @@ def test_slic_assign_via_cells_label_identical(spark):
     b2 = {r.row_id: r.label
           for r in slic_df(df2, 6, 2.0, assign_via_cells=True).collect()}
     assert a2 == b2
+
+
+def test_slic_plan_has_no_k_literal_in(spark):
+    # VERDICT r4 next-round #2: centers live in a distributed k-row map —
+    # a k=10^4 run must not put a k-literal In/InSet in the assignment plan
+    # and must collect nothing center-shaped per iteration.
+    import pandas as pd
+    from geostatstransforms_jl_spark.clustering.slic import slic_df
+
+    rng = np.random.default_rng(7)
+    n = 30000
+    pdf = pd.DataFrame(
+        {
+            "row_id": np.arange(n, dtype=np.int64),
+            "x": rng.uniform(0, 100, n),
+            "y": rng.uniform(0, 100, n),
+            "v": rng.normal(size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plans = []
+    out = slic_df(
+        df, 10_000, 1.0, maxiter=1, assign_via_cells=True,
+        _plan_probe=lambda cand: plans.append(
+            cand._jdf.queryExecution().executedPlan().toString()
+        ),
+    )
+    assert out.count() == n
+    assert plans, "probe never fired"
+    for p in plans:
+        assert "INSET" not in p, "k-literal InSet leaked into the plan"
+        assert " IN (" not in p, "k-literal In list leaked into the plan"
