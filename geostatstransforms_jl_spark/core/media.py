@@ -109,7 +109,13 @@ def synthetic_videos(
 def unpack_video(data: bytes, indices=None) -> list:
     """Parse a gsv1 container; decode only `indices` (all frames if None).
     Unrequested frames are *seeked over* via their length prefix — never
-    inflated.  Returns [(frame_idx, pixel array), ...]."""
+    inflated.  Returns [(frame_idx, pixel array), ...].
+
+    Contract: out-of-range frame indices raise ``IndexError`` (they were
+    silently ignored before r04) — inside ``mapInPandas`` that surfaces as
+    an executor-task failure naming the offending indices.  The internal
+    caller (`sample_frames`) always passes in-range indices; external
+    callers must pre-clamp if skip-don't-fail is the desired behavior."""
     if data[:4] != _GSV1_MAGIC:
         raise NotImplementedError(
             "real video byte streams (mp4/webm/…) are not decodable in this "

@@ -125,6 +125,11 @@ def tile_cells(
 
     One aggregate Exchange end-to-end; the streaming twin with identical
     key/rollup semantics is ``streaming.streaming_tile_cells``."""
+    if exact_distinct and distinct_col is None:
+        raise ValueError(
+            "exact_distinct=True has no effect without distinct_col — pass "
+            "the column to count distinctly, or drop exact_distinct"
+        )
     x, y = coords
     keyed = df.withColumn(key_col, morton_cell(grid, F.col(x), F.col(y)))
     agg_list = [F.count("*").alias("n_rows")]
@@ -133,4 +138,11 @@ def tile_cells(
              else F.approx_count_distinct(distinct_col))
         agg_list.append(d.alias("n_distinct"))
     agg_list.extend(aggs)
-    return keyed.groupBy(key_col).agg(*agg_list)
+    out = keyed.groupBy(key_col).agg(*agg_list)
+    dupes = {c for c in out.columns if out.columns.count(c) > 1}
+    if dupes:
+        raise ValueError(
+            f"caller agg aliases collide with reserved output columns "
+            f"({key_col!r}/'n_rows'/'n_distinct'): {sorted(dupes)}"
+        )
+    return out

@@ -123,8 +123,13 @@ def streaming_tile_cells(
     twin engineered away; PLANS.md "images_tile_cells"), paid per
     micro-batch here.  `id_index_expr` defaults to the trailing digits of
     the canonical `img%08d` ids; pass your own numeric Column (+ matching
-    `id_format`) for other id schemes — ids with no trailing digits yield a
-    NULL representative, which is the observable signal to do so."""
+    `id_format`) for other id schemes.  Ids with NO trailing digits yield a
+    NULL representative — the observable signal to do so.  Ids with a
+    DIFFERENT prefix but trailing digits (e.g. ``vid00000007``) are the
+    silent case: the default extracts the digits and re-formats them as
+    ``img%08d``, fabricating a representative that does not exist in the
+    input — any trailing-digit scheme other than ``img%08d`` MUST pass an
+    explicit ``id_format`` (and usually `id_index_expr`)."""
     from ..core.images import georef_lonlat
     from ..functions.geocell import morton_cell
 

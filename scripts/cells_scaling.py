@@ -36,9 +36,24 @@ startup cost the way a genuinely larger table would, without hours of
 fixture synthesis (the bytes are decoded k times; only the OS page cache
 is shared, which a 100-TB scan would also enjoy per-file).
 
-Usage: python scripts/cells_scaling.py [n_rows] [low] [high] [reps] [shuffle_partitions] [mode] [repeat]
+`dist` (argv[8]) picks the key distribution:
+  real  phash-georeferenced anchors (the bench's image table shape)
+  zipf  hot-cell stress (SURVEY §7: phash-derived cells are Zipfian by
+        construction): cell ranks drawn Zipf(s=1.2) over all 256x256 grid
+        cells — the hottest cell alone holds ~20% of all rows, the top
+        ten ~49% (measured at 200k rows) — with x,y
+        uniform inside the drawn cell so the Morton key maps 1:1 onto the
+        skewed rank.  Verifies HLL map-side combine + AQE hold the 0.8
+        efficiency target when the groupBy key is heavy-tailed.
+
+The fixture cache key includes a content tag (hash of this script's GEN
+block + core/images.py), so editing the synthesis invalidates old
+fixtures instead of silently reusing them.
+
+Usage: python scripts/cells_scaling.py [n_rows] [low] [high] [reps] [shuffle_partitions] [mode] [repeat] [dist]
 """
 
+import hashlib
 import json
 import os
 import subprocess
@@ -53,20 +68,22 @@ REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 SP = int(sys.argv[5]) if len(sys.argv) > 5 else 2 * int(HIGH)
 MODE = sys.argv[6] if len(sys.argv) > 6 else "exact"
 REPEAT = int(sys.argv[7]) if len(sys.argv) > 7 else 1
-FIXTURE = os.path.join(REPO, ".scratch", f"anchors_{N}")
+DIST = sys.argv[8] if len(sys.argv) > 8 else "real"
+assert DIST in ("real", "zipf"), DIST
 
 GEN = """
 import sys
 sys.path.insert(0, %(repo)r)
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from geostatstransforms_jl_spark.core.session import get_spark
 from geostatstransforms_jl_spark.core.images import make_image, georef_lonlat
 
-n, path = int(sys.argv[1]), sys.argv[2]
+n, path, dist = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 spark = get_spark(app="gst-cells-gen", master="local[16]", shuffle_partitions=16)
 
-def gen(batches):
+def gen_real(batches):
     for pdf in batches:
         ids = pdf["id"].tolist()
         yield pd.DataFrame({
@@ -75,14 +92,58 @@ def gen(batches):
                       for i in ids],
         })
 
-lon, lat = georef_lonlat("phash")
-(spark.range(n, numPartitions=64)
- .mapInPandas(gen, "row_id long, phash long")
- .select("row_id", "phash", lon.alias("x"), lat.alias("y"))
- .write.mode("overwrite").parquet(path))
+# Zipf hot-cell synthesis: deterministic per row (splitmix64 uniforms), cell
+# rank ~ Zipf(s=1.2) over all 256x256 cells of the WORKER's level-8 grid,
+# point uniform inside the drawn cell.  Rank->cell is a fixed permutation so
+# hot cells scatter spatially (hot Morton keys land in different shuffle
+# partitions, isolating key skew from range skew).
+_K, _S = 1 << 16, 1.2
+_w = 1.0 / np.arange(1, _K + 1, dtype=np.float64) ** _S
+_cdf = np.cumsum(_w) / _w.sum()
+_perm = np.random.Generator(np.random.PCG64(12345)).permutation(_K)
+
+def _u(ids, salt):
+    z = (ids + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(30); z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27); z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+def gen_zipf(batches):
+    for pdf in batches:
+        ids = pdf["id"].to_numpy().astype(np.uint64)
+        rank = np.searchsorted(_cdf, _u(ids, 1))
+        cell = _perm[np.clip(rank, 0, _K - 1)]
+        x = (cell %% 256 + _u(ids, 2)) / 256.0
+        y = (cell // 256 + _u(ids, 3)) / 256.0
+        phash = ((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1))
+        yield pd.DataFrame({
+            "row_id": ids.astype("int64"),
+            "phash": phash.astype("int64"),
+            "x": x, "y": y,
+        })
+
+base = spark.range(n, numPartitions=64)
+if dist == "real":
+    lon, lat = georef_lonlat("phash")
+    out = (base.mapInPandas(gen_real, "row_id long, phash long")
+           .select("row_id", "phash", lon.alias("x"), lat.alias("y")))
+else:
+    out = base.mapInPandas(gen_zipf, "row_id long, phash long, x double, y double")
+out.write.mode("overwrite").parquet(path)
 spark.stop()
 print("GEN_DONE")
 """
+
+# fixture cache key: row count + distribution + a content tag over the
+# synthesis code (this GEN block and core/images.py) — editing either
+# invalidates stale fixtures instead of silently reusing them
+_IMAGES_SRC = os.path.join(
+    REPO, "geostatstransforms_jl_spark", "core", "images.py"
+)
+with open(_IMAGES_SRC, "rb") as _f:
+    _TAG = hashlib.sha256(GEN.encode() + _f.read()).hexdigest()[:8]
+FIXTURE = os.path.join(REPO, ".scratch", f"anchors_{N}_{DIST}_{_TAG}")
 
 WORKER = """
 import json, sys, time
@@ -139,13 +200,18 @@ def main():
     if not os.path.exists(os.path.join(FIXTURE, "_SUCCESS")):
         t0 = time.time()
         p = subprocess.run(
-            [sys.executable, "-c", GEN % {"repo": REPO}, str(N), FIXTURE],
+            [sys.executable, "-c", GEN % {"repo": REPO}, str(N), FIXTURE, DIST],
             capture_output=True, text=True, cwd=REPO,
         )
         if "GEN_DONE" not in p.stdout:
             sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:] + "\n")
             raise RuntimeError("fixture generation failed")
         print(f"fixture {N} rows in {time.time()-t0:.0f}s", flush=True)
+    mtime = time.strftime(
+        "%Y-%m-%d %H:%M",
+        time.localtime(os.path.getmtime(os.path.join(FIXTURE, "_SUCCESS"))),
+    )
+    print(f"fixture {FIXTURE} (generated {mtime})", flush=True)
 
     runs = {LOW: [], HIGH: []}
     for rep in range(REPS):  # interleaved: a noise burst can't bias one level
@@ -166,6 +232,7 @@ def main():
     out = {
         "stage": "tile_assignment_cells", "rows": N * REPEAT,
         "shuffle_partitions": SP, "mode": MODE, "repeat": REPEAT,
+        "dist": DIST,
         "low": best[LOW], "high": best[HIGH],
         "runs": {k: [r["sec"] for r in v] for k, v in runs.items()},
         "scaling_efficiency": round(eff, 3),

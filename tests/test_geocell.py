@@ -184,3 +184,26 @@ def test_tile_cells_rollup_and_plans(spark):
     assert {k: v[0] for k, v in a.items()} == dict(exp_rows)
     for k, (_, nd) in a.items():
         assert abs(nd - len(exp_set[k])) <= max(3, 0.15 * len(exp_set[k]))
+
+
+def test_tile_cells_rejects_bad_contracts(spark):
+    # ADVICE r4: exact_distinct without distinct_col must raise, and caller
+    # agg aliases must not silently collide with reserved output columns
+    import pytest
+    from geostatstransforms_jl_spark.functions.geocell import tile_cells
+
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 3)
+    df = spark.range(10).select(
+        (F.col("id") / 10.0).alias("x"),
+        (F.col("id") / 10.0).alias("y"),
+        F.col("id").alias("v"),
+    )
+    with pytest.raises(ValueError, match="exact_distinct"):
+        tile_cells(df, grid, exact_distinct=True)
+    with pytest.raises(ValueError, match="n_rows"):
+        tile_cells(df, grid, aggs=[F.sum("v").alias("n_rows")])
+    with pytest.raises(ValueError, match="n_distinct"):
+        tile_cells(
+            df, grid, distinct_col="v",
+            aggs=[F.max("v").alias("n_distinct")],
+        )
