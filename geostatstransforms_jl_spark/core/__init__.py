@@ -9,6 +9,12 @@ from .aggregates import (
     last_by,
     mode_expr,
 )
+from .validate import (
+    validate_media,
+    image_reject_reason,
+    video_reject_reason,
+    audio_reject_reason,
+)
 
 __all__ = [
     "GridMeta",
@@ -24,4 +30,8 @@ __all__ = [
     "first_by",
     "last_by",
     "mode_expr",
+    "validate_media",
+    "image_reject_reason",
+    "video_reject_reason",
+    "audio_reject_reason",
 ]

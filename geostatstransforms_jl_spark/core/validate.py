@@ -1,0 +1,175 @@
+"""Ingest-boundary media validation (VERDICT r4 #4).
+
+The executor-side codecs fail loudly on undecodable rows — but DEEP in an
+Arrow batch, as a task failure with a stack trace instead of the offending
+row.  These helpers move that failure to the scan boundary: each media kind
+gets a pure-Catalyst ``*_reject_reason`` Column (NULL = decodable here,
+else a human-readable reason naming the contract violated), and
+``validate_media`` either
+
+* ``mode='raise'`` — collects a BOUNDED sample of offending ids (one scan
+  with an early-stopping limit, never a full count) and raises ``ValueError``
+  listing them, or
+* ``mode='quarantine'`` — appends the reason column lazily so callers can
+  split good/bad streams themselves (the 100-TB path: no extra action, the
+  reason expression is codegen'd into the scan).
+
+Signature checks are header sniffs (first bytes vs the container magic) —
+exactly what the executor decode would reject, evaluated JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .media import _GSV1_MAGIC
+from .png import _PNG_SIG
+
+#: formats decode_image accepts (core/png.py:133-147)
+IMAGE_FMTS = ("png", "jpeg", "raw")
+
+
+def image_reject_reason(
+    fmt_col: str = "fmt", bytes_col: str = "bytes"
+) -> Column:
+    """NULL for rows `core.png.decode_image` can decode, else the reason.
+
+    `fmt='jpeg'` rows must carry PNG-container bytes (the documented codec
+    stub, core/png.py:133-147): a REAL JPEG byte stream is flagged here at
+    the scan instead of raising NotImplementedError inside an Arrow batch."""
+    fmt, data = F.col(fmt_col), F.col(bytes_col)
+    sig = F.substring(data, 1, 8)
+    return (
+        F.when(data.isNull(), F.lit("bytes is NULL"))
+        .when(
+            ~fmt.isin(*IMAGE_FMTS),
+            F.concat(
+                F.lit("unknown fmt '"), fmt,
+                F.lit(f"' (decodable: {', '.join(IMAGE_FMTS)})"),
+            ),
+        )
+        .when(
+            fmt.isin("png", "jpeg") & (sig != F.lit(_PNG_SIG)),
+            F.concat(
+                F.lit("fmt '"), fmt,
+                F.lit(
+                    "' but the byte stream is not a PNG container — real "
+                    "JPEG/other codecs are a documented stub here"
+                ),
+            ),
+        )
+        .when(
+            (fmt == "raw") & (F.length(data) < 8),
+            F.lit("raw container shorter than its 8-byte w/h header"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def video_reject_reason(
+    fmt_col: str = "fmt", bytes_col: str = "bytes"
+) -> Column:
+    """NULL for gsv1 containers `unpack_video` can parse, else the reason."""
+    fmt, data = F.col(fmt_col), F.col(bytes_col)
+    return (
+        F.when(data.isNull(), F.lit("bytes is NULL"))
+        .when(
+            fmt != "gsv1",
+            F.concat(
+                F.lit("fmt '"), fmt,
+                F.lit(
+                    "': real video codecs (mp4/webm/...) are a documented "
+                    "stub; only gsv1 containers decode here"
+                ),
+            ),
+        )
+        .when(
+            F.substring(data, 1, 4) != F.lit(_GSV1_MAGIC),
+            F.lit("fmt 'gsv1' but the byte stream lacks the GSV1 magic"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def audio_reject_reason(
+    fmt_col: str = "fmt", bytes_col: str = "bytes"
+) -> Column:
+    """NULL for pcm16 rows `audio_features` can decode, else the reason."""
+    fmt, data = F.col(fmt_col), F.col(bytes_col)
+    return (
+        F.when(data.isNull(), F.lit("bytes is NULL"))
+        .when(
+            fmt != "pcm16",
+            F.concat(
+                F.lit("fmt '"), fmt,
+                F.lit(
+                    "': compressed audio codecs are a documented stub; only "
+                    "pcm16 decodes here"
+                ),
+            ),
+        )
+        .when(
+            F.length(data) % 2 != 0,
+            F.lit("pcm16 byte stream has odd length (not int16-aligned)"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+_REASONS = {
+    "image": (image_reject_reason, "image_id"),
+    "video": (video_reject_reason, "video_id"),
+    "audio": (audio_reject_reason, "audio_id"),
+}
+
+
+def validate_media(
+    df: DataFrame,
+    kind: str = "image",
+    *,
+    id_col: str | None = None,
+    fmt_col: str = "fmt",
+    bytes_col: str = "bytes",
+    mode: str = "raise",
+    max_errors: int = 20,
+    reason_col: str = "reject_reason",
+) -> DataFrame:
+    """Scan-boundary media validation.
+
+    ``mode='raise'``: returns ``df`` unchanged if every row is decodable,
+    else raises ``ValueError`` naming up to ``max_errors`` offending ids and
+    their reasons (one early-stopping scan — a `limit`, not a count, so the
+    failure path is cheap even on a huge table).
+
+    ``mode='quarantine'``: lazily appends ``reason_col`` (NULL = good);
+    nothing is executed — the scale path for pipelines that route bad rows
+    to a dead-letter sink instead of failing the job.
+    """
+    try:
+        reason_fn, default_id = _REASONS[kind]
+    except KeyError:
+        raise ValueError(f"unknown media kind {kind!r}; known: {sorted(_REASONS)}")
+    if mode not in ("raise", "quarantine"):
+        raise ValueError(f"mode must be 'raise' or 'quarantine', got {mode!r}")
+    idc = id_col or default_id
+    reason = reason_fn(fmt_col, bytes_col)
+    if mode == "quarantine":
+        return df.withColumn(reason_col, reason)
+    bad = (
+        df.withColumn(reason_col, reason)
+        .filter(F.col(reason_col).isNotNull())
+        .select(idc, reason_col)
+        .limit(max_errors)
+        .collect()
+    )
+    if bad:
+        lines = "\n".join(f"  {r[idc]}: {r[reason_col]}" for r in bad)
+        more = " (first %d shown)" % max_errors if len(bad) == max_errors else ""
+        raise ValueError(
+            f"{len(bad)} undecodable {kind} row(s) at the scan boundary"
+            f"{more}:\n{lines}\n"
+            f"Fix the rows, or pass mode='quarantine' to route them to a "
+            f"dead-letter sink via the {reason_col!r} column."
+        )
+    return df

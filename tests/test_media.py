@@ -219,3 +219,91 @@ def test_empty_partitions_schema_complete(spark):
     imgs = synthetic_images(spark, 2, partitions=8)
     assert imgs.count() == 2
     assert resize_images(imgs, 4, 4).count() == 2
+
+
+# ---- scan-boundary validation (VERDICT r4 #4) -------------------------------
+
+
+def _mixed_image_df(spark):
+    good = synthetic_images(spark, 6).select(
+        "image_id", "bytes", "fmt"
+    )
+    bad = spark.createDataFrame(
+        [
+            # a REAL JPEG byte stream (JFIF header) under the stubbed codec
+            ("jpg_real", bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"x" * 64), "jpeg"),
+            ("webp_row", bytearray(b"RIFF....WEBP" + b"x" * 64), "webp"),
+            ("null_row", None, "png"),
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    return good.unionByName(bad)
+
+
+def test_validate_images_raise_names_offenders(spark):
+    import pytest as _pytest
+    from geostatstransforms_jl_spark.core.validate import validate_media
+
+    df = _mixed_image_df(spark)
+    with _pytest.raises(ValueError) as ei:
+        validate_media(df, "image", mode="raise")
+    msg = str(ei.value)
+    # actionable context: every offending id AND its reason, plus the
+    # quarantine escape hatch
+    assert "jpg_real" in msg and "not a PNG container" in msg
+    assert "webp_row" in msg and "unknown fmt 'webp'" in msg
+    assert "null_row" in msg and "bytes is NULL" in msg
+    assert "quarantine" in msg
+    # a fully-valid table passes through unchanged (same plan object)
+    ok = synthetic_images(spark, 6).select("image_id", "bytes", "fmt")
+    assert validate_media(ok, "image", mode="raise") is ok
+
+
+def test_validate_images_quarantine_is_lazy_split(spark):
+    from geostatstransforms_jl_spark.core.validate import validate_media
+
+    out = validate_media(_mixed_image_df(spark), "image", mode="quarantine")
+    rows = {r.image_id: r.reject_reason for r in out.collect()}
+    assert sum(v is not None for v in rows.values()) == 3
+    assert rows["jpg_real"] is not None and rows["null_row"] is not None
+    # synthetic rows (including the stub 'jpeg' ones, which carry PNG bytes
+    # by contract) are all decodable
+    assert all(v is None for k, v in rows.items() if k.startswith("img"))
+
+
+def test_validate_video_and_audio(spark):
+    import pytest as _pytest
+    from geostatstransforms_jl_spark.core.validate import validate_media
+
+    vids = synthetic_videos(spark, 3).select("video_id", "bytes", "fmt")
+    mp4 = spark.createDataFrame(
+        [("vid_mp4", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"x" * 32), "mp4")],
+        "video_id string, bytes binary, fmt string",
+    )
+    with _pytest.raises(ValueError, match="vid_mp4"):
+        validate_media(vids.unionByName(mp4), "video", mode="raise")
+
+    auds = synthetic_audio(spark, 3).select("audio_id", "bytes", "fmt")
+    odd = spark.createDataFrame(
+        [("aud_odd", bytearray(b"\x01\x02\x03"), "pcm16"),
+         ("aud_ogg", bytearray(b"OggS" + b"x" * 16), "ogg")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    with _pytest.raises(ValueError) as ei:
+        validate_media(auds.unionByName(odd), "audio", mode="raise")
+    assert "aud_odd" in str(ei.value) and "aud_ogg" in str(ei.value)
+
+
+def test_load_media_fails_at_scan_boundary(spark, tmp_path):
+    import pytest as _pytest
+    from geostatstransforms_jl_spark.sources import load_media
+
+    path = str(tmp_path / "mixed_images")
+    _mixed_image_df(spark).write.parquet(path)
+    # the failure happens AT THE LOAD, before any operator/Arrow batch runs,
+    # and names the rows
+    with _pytest.raises(ValueError, match="jpg_real"):
+        load_media(spark, path, "image")
+    # quarantine mode loads lazily and lets the caller split
+    q = load_media(spark, path, "image", mode="quarantine")
+    assert q.filter(F.col("reject_reason").isNotNull()).count() == 3
