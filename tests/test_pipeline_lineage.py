@@ -628,3 +628,135 @@ def test_streaming_tile_cells_non_numeric_ids(spark):
 
     only_bad = streaming_tile_cells(df.filter(F.col("image_id") == "thumb_a"), grid)
     assert only_bad.collect()[0].first_image is None
+
+
+def test_streaming_tile_cells_kill_resume(spark, tmp_path):
+    # VERDICT r4 #5: stop the north-star streaming rollup mid-stream and
+    # restart from the checkpoint dir.  Phase 2 must (a) read ONLY the new
+    # files (offsets recovered) yet (b) emit the rollup over ALL rows (state
+    # recovered) — together that is exactly-once across the restart.
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.streaming import streaming_tile_cells
+
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 4)
+    cols = ("image_id", "phash", "caption")
+    src, ckpt = tmp_path / "tc_src", str(tmp_path / "tc_ckpt")
+    imgs = synthetic_images(spark, 600).select(*cols)
+    first, second = (
+        imgs.filter(F.col("image_id") < "img00000400"),
+        imgs.filter(F.col("image_id") >= "img00000400"),
+    )
+    first.coalesce(2).write.parquet(str(src))
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(imgs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_tile_cells(stream, grid)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    n1 = run("tc_phase1")
+    assert n1 == 400
+    # the "kill": the availableNow query has terminated; its state lives only
+    # in the checkpoint.  New data lands while no query is running.
+    second.coalesce(2).write.mode("append").parquet(str(src))
+    n2 = run("tc_phase2")
+    assert n2 == 200, "restart re-read already-committed files"
+
+    got = sorted(
+        (r.zkey, r.n_images, r.avg_tokens, r.first_image)
+        for r in spark.sql("select * from tc_phase2").collect()
+    )
+    batch = sorted(
+        (r.zkey, r.n_images, r.avg_tokens, r.first_image)
+        for r in streaming_tile_cells(
+            spark.read.parquet(str(src)), grid
+        ).collect()
+    )
+    assert got == batch
+
+
+def test_streaming_sessionize_kill_resume(spark, tmp_path):
+    # Checkpoint recovery through applyInPandasWithState: phase 1 ingests the
+    # real events and seals whatever sessions its final no-data batch can
+    # (watermark = max real ts), then terminates; phase 2 restarts from the
+    # checkpoint with only the two sentinel files, sealing the REMAINDER from
+    # recovered state.  The union of emissions across the two incarnations
+    # must equal the batch sessionize exactly once — no session lost at the
+    # restart boundary, none emitted twice.
+    import time
+
+    from geostatstransforms_jl_spark.functions.timeseries import sessionize
+    from geostatstransforms_jl_spark.streaming import streaming_sessionize
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts")
+    )
+    hi = ev.agg(F.max("ts").alias("m")).first().m
+    users = [r.user_id for r in ev.select("user_id").distinct().collect()]
+    src, ckpt = tmp_path / "sr_src", str(tmp_path / "sr_ckpt")
+    sink = str(tmp_path / "sr_out")  # a REAL file sink: append mode recovers
+    ev.coalesce(1).write.parquet(str(src))  # from the checkpoint, and its
+    # _spark_metadata commit log is the exactly-once ledger we assert on
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    run()
+    p1 = spark.read.parquet(sink).collect()
+
+    for k, days in ((1, 30), (2, 60)):
+        sent = spark.createDataFrame(
+            [(u, hi) for u in users], "user_id long, ts timestamp"
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        sent.coalesce(1).write.mode("append").parquet(str(src))
+
+    n2 = run()
+    assert n2 == 2 * len(users), "restart re-read already-committed files"
+    total = spark.read.parquet(sink).collect()
+    # the restart boundary did real work on both sides: phase 1 sealed some
+    # sessions, phase 2 sealed the rest from RECOVERED state
+    assert p1 and len(total) > len(p1), (len(p1), len(total))
+
+    batch = sessionize(ev, gap_seconds=1800)
+    g = sorted(
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in total
+        if r.session_start <= hi
+    )
+    b = sorted(
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in batch.collect()
+    )
+    assert len(g) == len(set(g)), "a session was emitted twice across restart"
+    assert g == b
