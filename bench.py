@@ -264,6 +264,29 @@ def _media_stages(spark, n_videos: int, n_audio: int, n_resize: int, cpus: int) 
     rows["resized"] = resize_images(imgs, 32, 32, "bilinear").count()
     stage_t["resize"] = round(time.perf_counter() - t, 2)
     sec = time.perf_counter() - t0
+    # real-JFIF codec throughput (round 5): force EVERY row through a jpeg
+    # encode → decode round trip so the pure-python baseline codec's cost is
+    # a recorded figure, not folded invisibly into mixed-fmt stages.
+    # Measured AFTER `sec` so items_per_sec stays comparable to r4.
+    import pandas as pd
+
+    def _transcode(batches):
+        from geostatstransforms_jl_spark.core.png import decode_image, encode_image
+
+        for pdf in batches:
+            n_px = []
+            for r in pdf.itertuples(index=False):
+                pix = decode_image(bytes(r.bytes), r.fmt)
+                n_px.append(int(decode_image(encode_image(pix, "jpeg"), "jpeg").size))
+            yield pd.DataFrame({"n_px": pd.Series(n_px, dtype="int64")})
+
+    t = time.perf_counter()
+    rows["jpeg_px"] = (
+        imgs.select("bytes", "fmt").mapInPandas(_transcode, "n_px long")
+        .agg({"n_px": "sum"}).first()[0]
+    )
+    jr = time.perf_counter() - t
+    stage_t["jpeg_roundtrip"] = round(jr, 2)
     n_items = n_videos + n_audio + n_resize
     return {
         "videos": n_videos,
@@ -273,6 +296,7 @@ def _media_stages(spark, n_videos: int, n_audio: int, n_resize: int, cpus: int) 
         "stages": stage_t,
         "rows": rows,
         "items_per_sec": round(n_items / sec, 1),
+        "jpeg_roundtrips_per_sec": round(n_resize / jr, 1),
     }
 
 

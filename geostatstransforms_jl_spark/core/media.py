@@ -342,9 +342,9 @@ def resize_images(
 ) -> DataFrame:
     """Resize every image to out_w × out_h; output is a normal image table
     (bytes re-encoded as lossless PNG, fmt='png', w/h updated, caption/phash
-    carried).  One narrow mapInPandas pass, zero shuffle; the jpeg-stub rows
-    decode to their stored (quantized) pixels first, exactly like every
-    other consumer of the table."""
+    carried).  One narrow mapInPandas pass, zero shuffle; fmt='jpeg' rows
+    decode to their stored (lossy-quantized) pixels first, exactly like
+    every other consumer of the table."""
     if out_w < 1 or out_h < 1:
         raise ValueError("output size must be positive")
     if method not in ("nearest", "bilinear"):

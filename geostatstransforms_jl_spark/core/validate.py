@@ -35,11 +35,12 @@ def image_reject_reason(
 ) -> Column:
     """NULL for rows `core.png.decode_image` can decode, else the reason.
 
-    `fmt='jpeg'` rows must carry PNG-container bytes (the documented codec
-    stub, core/png.py:133-147): a REAL JPEG byte stream is flagged here at
-    the scan instead of raising NotImplementedError inside an Arrow batch."""
+    'png'/'jpeg' rows must carry a PNG container or a baseline JFIF stream
+    (decode_image's signature dispatch, core/png.py): anything else is
+    flagged here at the scan instead of raising inside an Arrow batch."""
     fmt, data = F.col(fmt_col), F.col(bytes_col)
     sig = F.substring(data, 1, 8)
+    jfif_sig = F.substring(data, 1, 2)
     return (
         F.when(data.isNull(), F.lit("bytes is NULL"))
         .when(
@@ -50,12 +51,14 @@ def image_reject_reason(
             ),
         )
         .when(
-            fmt.isin("png", "jpeg") & (sig != F.lit(_PNG_SIG)),
+            fmt.isin("png", "jpeg")
+            & (sig != F.lit(_PNG_SIG))
+            & (jfif_sig != F.lit(b"\xff\xd8")),
             F.concat(
                 F.lit("fmt '"), fmt,
                 F.lit(
-                    "' but the byte stream is not a PNG container — real "
-                    "JPEG/other codecs are a documented stub here"
+                    "' but the byte stream is neither a PNG container nor a "
+                    "JPEG/JFIF stream"
                 ),
             ),
         )

@@ -346,6 +346,49 @@ def replay_minhash_dedup(rows, k=64, shingle=3, bands=16, rows_per_band=4,
     return set(sigs) - losers
 
 
+# ---- jpeg lossy-spec replay --------------------------------------------------
+#
+# fmt='jpeg' rows store REAL baseline JFIF bytes as of round 5.  The codec's
+# documented lossy spec (core/jpeg.py module docstring) is: edge-pad to 8-
+# multiples, level-shift, blockwise float64 orthonormal DCT-II, round(÷Q),
+# ×Q, IDCT, crop, round half-even + clip — quantization is the ONLY lossy
+# step.  Replayed here from the PUBLIC spec (ITU-T T.81 Annex K.1 table,
+# libjpeg quality formula at the codec's pinned default quality 99), NOT by
+# importing core/jpeg.py: a Huffman/bitstream bug in the codec shifts these
+# pixels and flips every literal downstream.
+
+_JPEG_Q50_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_spec_stored_pixels(pix: np.ndarray, quality: int = 99) -> np.ndarray:
+    """Grayscale stored-pixel replay: what decode(encode(pix, 'jpeg')) yields."""
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_JPEG_Q50_LUMA * scale + 50) // 100, 1, 255).astype(np.float64)
+    k = np.arange(8, dtype=np.float64)
+    C = np.sqrt(2.0 / 8.0) * np.cos((2.0 * k[None, :] + 1.0) * k[:, None] * np.pi / 16.0)
+    C[0, :] = np.sqrt(1.0 / 8.0)
+    h, w = pix.shape
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(pix.astype(np.float64), ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    quant = np.round((C @ (blocks - 128.0) @ C.T) / q)
+    spatial = C.T @ (quant * q) @ C + 128.0
+    full = spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return np.clip(np.round(full[:h, :w]), 0, 255).astype(np.uint8)
+
+
 # ---- image-gradient replay -------------------------------------------------
 
 
@@ -368,16 +411,17 @@ def _sobel_dense(a: np.ndarray, axis: int) -> np.ndarray:
 def replay_image_gradient(n=200, seed=42):
     """Per-image Sobel |∇| mean/max over the synthetic input contract.
     `make_image` reconstructs the INPUT pixels (it is the table's defining
-    pure function, FIXTURES.md F1); the jpeg stub's documented quantization
-    (x & 0xFC | 0x02) is applied; the gradient itself is computed by the
-    dense replay above, independent of operators/gradient.py."""
+    pure function, FIXTURES.md F1); fmt='jpeg' rows store the codec's lossy
+    spec output (_jpeg_spec_stored_pixels, replayed in-file); the gradient
+    itself is computed by the dense replay above, independent of
+    operators/gradient.py."""
     from geostatstransforms_jl_spark.core.images import make_image
 
     out = []
     for i in range(n):
         pix, w, h, fmt, _, _, _ = make_image(i, seed)
         if fmt == "jpeg":
-            pix = (pix & 0xFC) | 0x02
+            pix = _jpeg_spec_stored_pixels(pix)
         a = pix.astype(np.float64).T  # [i, j] layout
         mag = np.hypot(_sobel_dense(a, 0), _sobel_dense(a, 1))
         out.append((f"img{i:08d}", float(mag.mean()), float(mag.max())))
@@ -419,15 +463,16 @@ def _bilinear_replay(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def replay_image_resize(n=120, seed=42, out_w=20, out_h=14):
     """Per-image mean of the bilinear-resized pixels.  `make_image`
     reconstructs the INPUT pixels (input-defining contract, like
-    replay_image_gradient); the jpeg stub's documented quantization applies;
-    the resize itself is `_bilinear_replay`, independent of core/media.py."""
+    replay_image_gradient); fmt='jpeg' rows store the codec's lossy-spec
+    pixels (_jpeg_spec_stored_pixels, replayed in-file); the resize itself
+    is `_bilinear_replay`, independent of core/media.py."""
     from geostatstransforms_jl_spark.core.images import make_image
 
     out = []
     for i in range(n):
         pix, w, h, fmt, _, _, _ = make_image(i, seed)
         if fmt == "jpeg":
-            pix = (pix & 0xFC) | 0x02
+            pix = _jpeg_spec_stored_pixels(pix)
         res = _bilinear_replay(pix, out_h, out_w)
         out.append((f"img{i:08d}", float(res.astype(np.float64).mean())))
     return out
@@ -768,7 +813,7 @@ def replay_image_potrace(seed=42):
             continue
         pix, w, h, fmt, _, _, _ = make_image(n, seed)
         if fmt == "jpeg":
-            pix = (pix & 0xFC) | 0x02
+            pix = _jpeg_spec_stored_pixels(pix)
         grid = pix.astype(np.float64).T  # [i, j]
         for m in (0, 1):
             mask = (grid > 127.5) == bool(m)

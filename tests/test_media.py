@@ -230,8 +230,9 @@ def _mixed_image_df(spark):
     )
     bad = spark.createDataFrame(
         [
-            # a REAL JPEG byte stream (JFIF header) under the stubbed codec
-            ("jpg_real", bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"x" * 64), "jpeg"),
+            # a GIF container smuggled under fmt='jpeg' — neither PNG nor
+            # JFIF signature (real JFIF streams are decodable since r5)
+            ("gif_as_jpeg", bytearray(b"GIF89a" + b"x" * 64), "jpeg"),
             ("webp_row", bytearray(b"RIFF....WEBP" + b"x" * 64), "webp"),
             ("null_row", None, "png"),
         ],
@@ -250,7 +251,7 @@ def test_validate_images_raise_names_offenders(spark):
     msg = str(ei.value)
     # actionable context: every offending id AND its reason, plus the
     # quarantine escape hatch
-    assert "jpg_real" in msg and "not a PNG container" in msg
+    assert "gif_as_jpeg" in msg and "neither a PNG container nor a JPEG/JFIF" in msg
     assert "webp_row" in msg and "unknown fmt 'webp'" in msg
     assert "null_row" in msg and "bytes is NULL" in msg
     assert "quarantine" in msg
@@ -265,9 +266,9 @@ def test_validate_images_quarantine_is_lazy_split(spark):
     out = validate_media(_mixed_image_df(spark), "image", mode="quarantine")
     rows = {r.image_id: r.reject_reason for r in out.collect()}
     assert sum(v is not None for v in rows.values()) == 3
-    assert rows["jpg_real"] is not None and rows["null_row"] is not None
-    # synthetic rows (including the stub 'jpeg' ones, which carry PNG bytes
-    # by contract) are all decodable
+    assert rows["gif_as_jpeg"] is not None and rows["null_row"] is not None
+    # synthetic rows (including the fmt='jpeg' ones, which carry real
+    # baseline JFIF bytes since r5) are all decodable
     assert all(v is None for k, v in rows.items() if k.startswith("img"))
 
 
@@ -302,7 +303,7 @@ def test_load_media_fails_at_scan_boundary(spark, tmp_path):
     _mixed_image_df(spark).write.parquet(path)
     # the failure happens AT THE LOAD, before any operator/Arrow batch runs,
     # and names the rows
-    with _pytest.raises(ValueError, match="jpg_real"):
+    with _pytest.raises(ValueError, match="gif_as_jpeg"):
         load_media(spark, path, "image")
     # quarantine mode loads lazily and lets the caller split
     q = load_media(spark, path, "image", mode="quarantine")
