@@ -154,9 +154,15 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR, queries=None) -> dict:
     }
 
 
-def _image_stages(spark, n_images: int, cpus: int) -> dict:
+def _image_stages(spark, n_images: int, cpus: int, source_path: str | None = None) -> dict:
     """Shared by run_bench and image_workload: synthesis → per-tile Sobel →
-    phash georeference → cell-path 1-NN self-join → exact dedup."""
+    phash georeference → cell-path 1-NN self-join → exact dedup.
+
+    With `source_path`, the first stage reads the MATERIALIZED image table
+    from parquet instead of synthesizing in-line — the window then times
+    exactly what a 100-TB deployment pays (scan → decode → Sobel), with the
+    fixture build (synthesis + jpeg/png ENCODE) excluded as setup.  The
+    in-line variant stays the r2–r4-comparable window."""
     from geostatstransforms_jl_spark.core.images import synthetic_images
     from geostatstransforms_jl_spark.operators.gradient import gradient_packed
     from geostatstransforms_jl_spark.functions.knn import knn_join
@@ -165,7 +171,10 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
 
     stage_t = {}
     t0 = time.perf_counter()
-    imgs = synthetic_images(spark, n_images, partitions=4 * cpus)
+    if source_path is not None:
+        imgs = spark.read.parquet(source_path)
+    else:
+        imgs = synthetic_images(spark, n_images, partitions=4 * cpus)
     # ONE shuffle-free pass: synthesis → per-tile Sobel → anchor projection.
     # The image bytes (4 KB/row) never persist anywhere — gradient_packed
     # carries the narrow phash forward, so the georeference derives from the
@@ -184,7 +193,9 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
         .persist()
     )
     n_g = pts.count()
-    stage_t["synth+gradient"] = round(time.perf_counter() - t, 2)
+    stage_t["scan+gradient" if source_path else "synth+gradient"] = round(
+        time.perf_counter() - t, 2
+    )
     t = time.perf_counter()
     nn = knn_join(
         pts, pts, k=1, exclude_same_id=True, broadcast_threshold=0, salt_threshold=20_000
@@ -225,6 +236,7 @@ def _image_stages(spark, n_images: int, cpus: int) -> dict:
     pts.unpersist()
     return {
         "images": n_images,
+        "source": "materialized" if source_path else "inline",
         "sec": round(sec, 2),
         "stages": stage_t,
         "rows": {"gradient": n_g, "knn": n_nn, "unique": n_uc, "cells": n_cells},
@@ -312,13 +324,37 @@ def image_workload(cpus: str, n_images: int) -> dict:
     """
     from geostatstransforms_jl_spark.core.session import get_spark
 
+    source_path = None
+    if os.environ.get("SPARK_GRAFT_MATERIALIZED") == "1":
+        source_path = _materialized_images(n_images)
     spark = get_spark(
         app=f"gst-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
     spark.range(10).count()  # JVM warm
-    out = _image_stages(spark, n_images, int(cpus))
+    out = _image_stages(spark, n_images, int(cpus), source_path=source_path)
     spark.stop()
     return {"cpus": int(cpus), **out}
+
+
+def _materialized_images(n_images: int) -> str:
+    """Build (once) the deterministic image table as parquet — the fixture a
+    100-TB deployment's scan would read.  Built in its OWN local[32] JVM so
+    the (untimed) synthesis+encode cost never depends on the measured level;
+    path is version-tagged (v2 = real JFIF fmt='jpeg' bytes) so a codec
+    change can't silently reuse stale bytes."""
+    path = os.path.join(REPO, ".scratch", f"images_v2_{n_images}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.core.session import get_spark
+
+    spark = get_spark(app="gst-img-fixture", master="local[32]", shuffle_partitions=32)
+    t0 = time.perf_counter()
+    synthetic_images(spark, n_images, partitions=256).write.mode("overwrite").parquet(path)
+    print(f"# materialized {n_images} images -> {path} "
+          f"({time.perf_counter() - t0:.1f}s, untimed fixture build)", file=sys.stderr)
+    spark.stop()
+    return path
 
 
 def stress(cpus: str = CPUS) -> dict:
