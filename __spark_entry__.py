@@ -350,6 +350,41 @@ def q_image_potrace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "m", F.size("polys").alias("n_polys"))
 
 
+def q_image_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real DCT perceptual hash FROM the image bytes (operators/phash.py):
+    decode → exact-integer bilinear 32×32 → orthonormal DCT-II → low-freq
+    8×8 → median-threshold 64 bits.  Zero-shuffle mapInPandas, numpy-batched
+    per Arrow batch.  Oracle: literal table from an independent replay
+    (scalar-loop resize + in-file DCT, gen_literal_oracles._phash64_spec)."""
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.operators.phash import phash_images
+
+    images = synthetic_images(spark, 150, partitions=8)
+    return phash_images(images)
+
+
+def q_image_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image near-dup FROM RAW BYTES: 150 originals unioned with
+    their real-JFIF transcodes (planted near-pairs: quality-99 transcoding
+    moves ≤2 of 64 phash bits) → phash_images → banded Hamming pairs with
+    the unconditional pigeonhole guarantee (bands ≥ max_hamming+1, no
+    bucket cap).  Oracle: brute-force SQL cross join over independently
+    replayed signatures — the banded plan must equal the unbanded
+    definition exactly."""
+    from geostatstransforms_jl_spark.core.images import synthetic_images
+    from geostatstransforms_jl_spark.core.media import transcode_images
+    from geostatstransforms_jl_spark.operators.phash import phash_images
+    from geostatstransforms_jl_spark.textops.dedup import hamming_neardup_pairs
+
+    images = synthetic_images(spark, 150, partitions=8)
+    both = images.unionByName(transcode_images(images, "jpeg", id_prefix="cp"))
+    sigs = phash_images(both)
+    return hamming_neardup_pairs(
+        sigs, sig_col="phash64", id_col="image_id", max_hamming=2,
+        max_bucket_size=None,
+    )
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilinear image resize (half-pixel-center spec, core/media.py): packed
     synthetic table → resize to 20×14 → per-image pixel mean via the long
@@ -1224,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified before r05 --------------------------------
+        "image_phash64": q_image_phash64,
+        "image_neardup_e2e": q_image_neardup_e2e,
         "metric_knn": q_metric_knn,
         "metric_radius": q_metric_radius,
         # -- last driver-green in r03; rotated out of the r04 window ---------
@@ -1244,13 +1281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_interpolate": q_idw_interpolate,
         "droplocal_outliers": q_droplocal,
         "gradient": q_gradient,
-        "rasterize_points": q_rasterize_points,
         "rasterize_polygons": q_rasterize_polygons,
         "interp_neighbors_idw": q_interp_neighbors_idw,
         "kriging_neighbors": q_kriging_neighbors,
         "detrend": q_detrend,
         "slic_clusters": q_slic,
-        "slic_cells": q_slic_cells,
         "ghc_clusters": q_ghc,
         "gsc_clusters": q_gsc,
         "modefilter": q_modefilter,
@@ -1278,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         # ==== 50-slot window boundary (driver checks entries above) =========
         # -- r04-green near-duplicates of queries inside the window ----------
+        "rasterize_points": q_rasterize_points,  # rasterize_polygons, point case
+        "slic_cells": q_slic_cells,  # slic_clusters, label-identical cell route
         "token_stats": q_token_stats,  # subset of docs_clean_pipeline stats
         "lang_id": q_lang_id,  # ditto
         "doc_quality": q_doc_quality,  # ditto

@@ -145,9 +145,17 @@ DEFAULT_QUALITY = 99
 # orthonormal DCT-II basis: DCT_MAT @ block @ DCT_MAT.T is the 2-D forward
 # transform.  float64; construction must match the oracle generator's spec
 # replay verbatim (gen_literal_oracles.py:_jpeg_spec_*).
-_k = np.arange(8, dtype=np.float64)
-DCT_MAT = np.sqrt(2.0 / 8.0) * np.cos((2.0 * _k[None, :] + 1.0) * _k[:, None] * np.pi / 16.0)
-DCT_MAT[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def dct_matrix(n: int) -> np.ndarray:
+    """n×n orthonormal DCT-II basis matrix (row k = frequency k)."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.sqrt(2.0 / n) * np.cos((2.0 * k[None, :] + 1.0) * k[:, None] * np.pi / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+DCT_MAT = dct_matrix(8)
 
 # JFIF YCbCr constants (both directions) — shared with the spec replay.
 _RGB2Y = (0.299, 0.587, 0.114)

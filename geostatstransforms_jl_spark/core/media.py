@@ -375,3 +375,42 @@ def resize_images(
     from .images import IMAGE_SCHEMA
 
     return images.mapInPandas(run, IMAGE_SCHEMA)
+
+
+def transcode_images(
+    images: DataFrame, to_fmt: str = "jpeg", id_prefix: str = ""
+) -> DataFrame:
+    """Re-encode every image's stored pixels in `to_fmt` ('png' lossless,
+    'jpeg' real baseline JFIF at the pinned contract quality, 'raw').
+    Output is a normal image table with fmt/bytes swapped and every other
+    column carried; `id_prefix` prepends to image_id so a transcoded twin
+    table can be unioned with its source without id collisions (the
+    planted-pair construction `image_neardup_e2e` uses).  One zero-shuffle
+    mapInPandas pass, same plan family as resize_images."""
+    if to_fmt not in ("png", "jpeg", "raw"):
+        raise ValueError(f"unknown target fmt {to_fmt!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pix = decode_image(bytes(r.bytes), r.fmt)
+                rows.append(
+                    {
+                        "image_id": id_prefix + r.image_id,
+                        "bytes": encode_image(pix, to_fmt),
+                        "w": r.w,
+                        "h": r.h,
+                        "fmt": to_fmt,
+                        "caption": r.caption,
+                        "phash": r.phash,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    from .images import IMAGE_SCHEMA
+
+    return images.mapInPandas(run, IMAGE_SCHEMA)

@@ -389,6 +389,45 @@ def _jpeg_spec_stored_pixels(pix: np.ndarray, quality: int = 99) -> np.ndarray:
     return np.clip(np.round(full[:h, :w]), 0, 255).astype(np.uint8)
 
 
+# ---- perceptual-hash replay --------------------------------------------------
+#
+# operators/phash.py documented spec, replayed independently: grayscale →
+# exact-integer bilinear 32×32 (the scalar `_bilinear_replay`, not the
+# engine's vectorized kernel) → 32×32 orthonormal DCT-II re-derived in-file
+# → top-left 8×8 → median of coefficients 1..63 → 64 little-endian bits →
+# two's-complement int64.
+
+
+def _phash64_spec(pix: np.ndarray) -> int:
+    g32 = _bilinear_replay(pix, 32, 32).astype(np.float64)
+    k = np.arange(32, dtype=np.float64)
+    C = np.sqrt(2.0 / 32.0) * np.cos((2.0 * k[None, :] + 1.0) * k[:, None] * np.pi / 64.0)
+    C[0, :] = np.sqrt(1.0 / 32.0)
+    flat = (C @ g32 @ C.T)[:8, :8].reshape(64)
+    med = float(np.median(flat[1:]))
+    v = 0
+    for b in range(64):
+        if flat[b] > med:
+            v |= 1 << b
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def replay_image_phash_table(n=150, seed=42):
+    """(id, phash64) for n originals ('img...') plus their jpeg transcodes
+    ('cp' + id): original stored pixels are the input contract (jpeg rows =
+    lossy-spec pixels); transcodes apply the jpeg lossy spec to the STORED
+    pixels once more (transcode_images re-encodes what it decodes)."""
+    from geostatstransforms_jl_spark.core.images import make_image
+
+    out = []
+    for i in range(n):
+        pix, w, h, fmt, _, _, _ = make_image(i, seed)
+        stored = _jpeg_spec_stored_pixels(pix) if fmt == "jpeg" else pix
+        out.append((f"img{i:08d}", _phash64_spec(stored)))
+        out.append((f"cpimg{i:08d}", _phash64_spec(_jpeg_spec_stored_pixels(stored))))
+    return out
+
+
 # ---- image-gradient replay -------------------------------------------------
 
 
@@ -1124,6 +1163,24 @@ def main():
         + ")"
     )
 
+    ph = replay_image_phash_table(150, seed=42)
+    ph_sql = (
+        "SELECT col0 AS image_id, col1::BIGINT AS phash64 FROM (VALUES "
+        + ", ".join(f"({q(i)}, {h})" for i, h in ph if i.startswith("img"))
+        + ")"
+    )
+    # near-dup pairs enumerated IN SQL (brute-force cross join over the
+    # replayed signatures), so the banded engine path is checked against the
+    # unbanded definition, not against a python re-derivation of pairs
+    nd_sql = (
+        "WITH sigs(id, h) AS (VALUES "
+        + ", ".join(f"({q(i)}, {h}::BIGINT)" for i, h in ph)
+        + ") SELECT a.id AS a, b.id AS b, "
+        "bit_count(xor(a.h, b.h))::INT AS hamming "
+        "FROM sigs a JOIN sigs b ON a.id < b.id "
+        "WHERE bit_count(xor(a.h, b.h)) <= 2"
+    )
+
     vf = replay_video_frame_sample(50, every=3, seed=42)
     vf_sql = (
         "SELECT col0 AS video_id, col1::INT AS frame_idx, "
@@ -1161,6 +1218,8 @@ def main():
         f'    "ghc_clusters": """{gh_sql}""",\n'
         f'    "gsc_clusters": """{gs_sql}""",\n'
         f'    "image_resize": """{rz_sql}""",\n'
+        f'    "image_phash64": """{ph_sql}""",\n'
+        f'    "image_neardup_e2e": """{nd_sql}""",\n'
         f'    "video_frame_sample": """{vf_sql}""",\n'
         f'    "audio_rms": """{au_sql}""",\n'
         "}\n"
