@@ -636,7 +636,12 @@ def _decode_block(reader: _BitReader, dc_lut: list, ac_fused: list, pred: int):
     zz[0] = pred
 
     k = 1
+    nbits = reader.nbits
     while k < 64:
+        if pos > nbits:
+            # zero-padded guard windows decode as short valid codes, so a
+            # truncated stream must be caught by POSITION, not by lookup
+            raise ValueError("entropy segment exhausted mid-block (truncated stream)")
         e = ac_fused[w[pos]]
         tag = (e >> 24) & 0xF
         pos += e >> 28
@@ -682,6 +687,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos < n:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -753,6 +761,15 @@ def _decode_scan(seg: bytes, sof, scan_comps, qtabs, htabs, restart_interval) ->
     fh, fw, comps = sof
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component scan")
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            f"multi-scan stream: SOS covers {len(scan_comps)} of "
+            f"{len(comps)} frame components (non-interleaved sequential)"
+        )
+    if len(comps) == 1:
+        # T.81 A.2.2: a non-interleaved (single-component) scan ignores the
+        # declared sampling factors — MCU = one data unit, row-major blocks
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hs = [c[1] for c in comps]
     vs = [c[2] for c in comps]
     if max(hs) > 2 or max(vs) > 2 or min(hs) < 1 or min(vs) < 1:

@@ -293,4 +293,7 @@ def gradient_packed(images: DataFrame, stats: bool = True, carry=(), kern="sobel
     schema = "image_id string, grad_mean double, grad_max double" + "".join(
         f", {c} {types[c]}" for c in carry
     )
-    return images.select("image_id", "bytes", "fmt", *carry).mapInPandas(run, schema)
+    # dedupe: 'fmt' (or 'bytes') in carry must not duplicate a column label
+    # in the projection — pandas batch indexing breaks on duplicates
+    sel = ["image_id", "bytes", "fmt"] + [c for c in carry if c not in ("bytes", "fmt")]
+    return images.select(*sel).mapInPandas(run, schema)

@@ -53,6 +53,21 @@ _DCT32 = dct_matrix(32)
 _BITW = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
 
+def _to_gray(pix: np.ndarray) -> np.ndarray:
+    """Spec step 1: exact integer mean floor over RGB channels (no-op for
+    2-D input) — the ONE implementation both entry points share."""
+    if pix.ndim == 3:
+        pix = (
+            (
+                pix[:, :, 0].astype(np.int64)
+                + pix[:, :, 1].astype(np.int64)
+                + pix[:, :, 2].astype(np.int64)
+            )
+            // 3
+        ).astype(np.uint8)
+    return pix
+
+
 def phash64_batch(planes: np.ndarray) -> np.ndarray:
     """Steps 3–6 over a stacked (n, 32, 32) float64 tensor → (n,) int64.
     ONE batched matmul pair for the whole Arrow batch."""
@@ -65,14 +80,7 @@ def phash64_batch(planes: np.ndarray) -> np.ndarray:
 
 def phash64_single(pix: np.ndarray) -> int:
     """Spec steps 1(gray)–6 for one decoded uint8 array (test/debug entry)."""
-    if pix.ndim == 3:
-        pix = (
-            pix[:, :, 0].astype(np.int64)
-            + pix[:, :, 1].astype(np.int64)
-            + pix[:, :, 2].astype(np.int64)
-        ) // 3
-        pix = pix.astype(np.uint8)
-    g32 = resize_plane(pix, 32, 32, "bilinear").astype(np.float64)
+    g32 = resize_plane(_to_gray(pix), 32, 32, "bilinear").astype(np.float64)
     return int(phash64_batch(g32[None])[0])
 
 
@@ -83,22 +91,18 @@ def phash_images(images: DataFrame, out_col: str = "phash64", carry=()) -> DataF
     runs row-at-a-time, then the DCT/median/pack runs ONCE per Arrow batch
     on the stacked (n, 32, 32) tensor — the 100-TB plan shape: scan-bound,
     no exchange, no driver involvement."""
-    carry = [c for c in carry if c != "image_id"]
+    carry = [c for c in carry if c not in ("image_id", "bytes")]
+    if out_col in carry or out_col == "image_id":
+        raise ValueError(f"out_col {out_col!r} collides with a carried/output column")
+    # dedupe the input projection: 'fmt' may legitimately be carried, and a
+    # duplicate column label would break the pandas batch indexing
+    sel = ["image_id", "bytes", "fmt"] + [c for c in carry if c != "fmt"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, planes = [], []
             for r in pdf.itertuples(index=False):
-                pix = decode_image(r.bytes, r.fmt)
-                if pix.ndim == 3:
-                    pix = (
-                        (
-                            pix[:, :, 0].astype(np.int64)
-                            + pix[:, :, 1].astype(np.int64)
-                            + pix[:, :, 2].astype(np.int64)
-                        )
-                        // 3
-                    ).astype(np.uint8)
+                pix = _to_gray(decode_image(r.bytes, r.fmt))
                 ids.append(r.image_id)
                 planes.append(resize_plane(pix, 32, 32, "bilinear").astype(np.float64))
             out = {"image_id": pd.Series(ids, dtype=object)}
@@ -116,4 +120,4 @@ def phash_images(images: DataFrame, out_col: str = "phash64", carry=()) -> DataF
     schema = f"image_id string, {out_col} long" + "".join(
         f", {c} {types[c]}" for c in carry
     )
-    return images.select("image_id", "bytes", "fmt", *carry).mapInPandas(run, schema)
+    return images.select(*sel).mapInPandas(run, schema)

@@ -421,7 +421,10 @@ def replay_image_phash_table(n=150, seed=42):
 
     out = []
     for i in range(n):
-        pix, w, h, fmt, _, _, _ = make_image(i, seed)
+        # encode=False: the replay derives stored pixels from the SPEC, so
+        # running the actual codec here would be both wasted work and an
+        # independence leak (images.py documents this knob for oracle use)
+        pix, w, h, fmt, _, _, _ = make_image(i, seed, encode=False)
         stored = _jpeg_spec_stored_pixels(pix) if fmt == "jpeg" else pix
         out.append((f"img{i:08d}", _phash64_spec(stored)))
         out.append((f"cpimg{i:08d}", _phash64_spec(_jpeg_spec_stored_pixels(stored))))

@@ -231,6 +231,57 @@ def test_progressive_raises_with_marker_name():
         J.jpeg_decode(bytes(data))
 
 
+def test_truncated_stream_raises_valueerror_not_indexerror():
+    rng = np.random.default_rng(17)
+    data = J.jpeg_encode(rng.integers(0, 256, (32, 32), dtype=np.uint8))
+    # cut the entropy segment in half (keep headers + some scan bytes)
+    sos = data.find(b"\xff\xda")
+    cut = data[: sos + (len(data) - sos) // 2]
+    with pytest.raises(ValueError):
+        J.jpeg_decode(cut)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: 0xFF fill bytes may pad any marker; inject some before
+    # DQT and SOS and the stream must still decode identically
+    rng = np.random.default_rng(18)
+    pix = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    data = J.jpeg_encode(pix)
+    padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xda", b"\xff\xff\xda", 1
+    )
+    np.testing.assert_array_equal(J.jpeg_decode(padded), J.jpeg_decode(data))
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    # T.81 A.2.2: a non-interleaved scan uses MCU = one data unit and plain
+    # row-major ceil(dim/8) geometry even when SOF declares h=v=2
+    rng = np.random.default_rng(19)
+    pix = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    ql, qc = J.quant_tables(90)
+    blocks, by, bx = J._to_blocks(pix.astype(np.float64))
+    codes, nbits, _ = J._encode_plane_symbols(J._fdct_quant(blocks, ql), 0)
+    scan = J._pack_bits(codes, nbits)
+    data = _assemble(1, 24, 24, [(2, 2)], scan, ql, qc)  # declares 2x2!
+    np.testing.assert_array_equal(J.jpeg_decode(data), spec_gray(pix, 90))
+
+
+def test_multi_scan_stream_raises_notimplemented():
+    # a 3-component SOF whose first SOS covers only component 1 must fail
+    # loudly, not KeyError on the missing Huffman assignment
+    rng = np.random.default_rng(20)
+    arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = bytearray(J.jpeg_encode(arr))
+    i = data.find(b"\xff\xda")
+    ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+    one_comp_sos = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    data = bytes(data[:i]) + one_comp_sos + bytes(data[i + 2 + ln :])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        J.jpeg_decode(data)
+
+
 def test_bad_inputs_raise():
     with pytest.raises(ValueError, match="SOI"):
         J.jpeg_decode(b"\x89PNG\r\n\x1a\n")

@@ -95,6 +95,11 @@ def test_carry_columns_pass_through(spark):
     ref = {r.image_id: (r.w, r.caption) for r in imgs.select("image_id", "w", "caption").collect()}
     for r in out:
         assert (r.w, r.caption) == ref[r.image_id]
+    # 'fmt' is an input column AND a legal carry — must not duplicate labels
+    out = phash_images(imgs, carry=("fmt",)).collect()
+    assert {r.fmt for r in out} == {"png", "jpeg"}
+    with pytest.raises(ValueError, match="collides"):
+        phash_images(imgs, carry=("w",), out_col="w")
 
 
 def test_banded_pairs_equal_brute_force(spark):
