@@ -32,6 +32,22 @@ from pyspark.sql import DataFrame
 from ..core.geotable import GeoTable, GridDomain
 
 
+def _stamp_grad_units(src: DataFrame, out: DataFrame, var: str, out_cols, coord_unit):
+    """Derive the derivative columns' unit — unit(var) / coord_unit — into
+    output-column metadata (reference test/gradient.jl:8-20: Gradient of a
+    ``K`` variable on a meter grid yields ``K*m^-1``; a dimensionless one
+    yields ``m^-1``).  ``coord_unit=None`` skips stamping entirely (schema
+    byte-identical to pre-unit-algebra callers).  Metadata can't ride
+    through applyInPandas' DDL schema, so this is a post-projection — pure
+    Catalyst aliasing, zero data movement."""
+    if coord_unit is None:
+        return out
+    from ..functions.units import div_units, unit_of, with_units
+
+    gu = div_units(unit_of(src, var) or "1", coord_unit)
+    return with_units(out, {c: gu for c in out_cols})
+
+
 # Separable length-3 gradient kernels, ImageFiltering normalization:
 # (derivative factor, cross-axis smoothing factor).  The reference accepts
 # any `KernelFactors.*` pair via its `kern` keyword (src/gradient.jl:24);
@@ -123,6 +139,7 @@ def gradient_nd_long_df(
     tile_col: Optional[str] = None,
     axis_names=None,
     kern="sobel",
+    coord_unit=None,
 ) -> DataFrame:
     """n-D long/grid form: rows (tile?, i₀..i_{d-1}, var) →
     (tile?, i₀..i_{d-1}, var_<axis> per axis).
@@ -130,7 +147,9 @@ def gradient_nd_long_df(
     `dims` are the global grid extents per axis; `spacings` the cell sizes
     (default 1.0); `axis_names` the CRS axis suffixes (default x, y, z,
     w₃, w₄, …).  Rows absent from a tile contribute zeros (view semantics,
-    src/gradient.jl:51-61) and are not emitted."""
+    src/gradient.jl:51-61) and are not emitted.  `coord_unit` (e.g. "m")
+    stamps unit(var)/coord_unit into the output columns' metadata
+    (test/gradient.jl:8-20); None leaves metadata untouched."""
     dims = [int(n) for n in dims]
     d = len(dims)
     index_cols = list(index_cols)[:d]
@@ -172,13 +191,15 @@ def gradient_nd_long_df(
     )
     sel = keys + index_cols + [var]
     if keys:
-        return df.select(*sel).groupBy(*keys).applyInPandas(per_tile, schema)
-    import pyspark.sql.functions as F
+        out = df.select(*sel).groupBy(*keys).applyInPandas(per_tile, schema)
+    else:
+        import pyspark.sql.functions as F
 
-    dd = df.select(*sel).withColumn("_t", F.lit(0))
-    return dd.groupBy("_t").applyInPandas(
-        lambda pdf: per_tile(pdf.drop(columns=["_t"])), schema
-    )
+        dd = df.select(*sel).withColumn("_t", F.lit(0))
+        out = dd.groupBy("_t").applyInPandas(
+            lambda pdf: per_tile(pdf.drop(columns=["_t"])), schema
+        )
+    return _stamp_grad_units(df, out, var, out_cols, coord_unit)
 
 
 def gradient_long_df(
@@ -191,11 +212,14 @@ def gradient_long_df(
     index_cols=("i", "j"),
     tile_col: Optional[str] = None,
     kern="sobel",
+    coord_unit=None,
 ) -> DataFrame:
     """Long/grid form: rows (tile?, i, j, var) → (tile?, i, j, var_x, var_y).
 
     Rows absent from a tile are treated as zeros (view semantics) and are not
-    emitted in the output.
+    emitted in the output.  `coord_unit` (e.g. "m") stamps
+    unit(var)/coord_unit into var_x/var_y column metadata (reference
+    test/gradient.jl:8-20); None (default) leaves metadata untouched.
     """
     ic, jc = index_cols
     keys = [tile_col] if tile_col else []
@@ -224,20 +248,27 @@ def gradient_long_df(
     )
     sel = keys + [ic, jc, var]
     if keys:
-        return df.select(*sel).groupBy(*keys).applyInPandas(per_tile, schema)
-    # single tile: still one group — route through a constant key
-    import pyspark.sql.functions as F
+        out = df.select(*sel).groupBy(*keys).applyInPandas(per_tile, schema)
+    else:
+        # single tile: still one group — route through a constant key
+        import pyspark.sql.functions as F
 
-    d = df.select(*sel).withColumn("_t", F.lit(0))
-    return d.groupBy("_t").applyInPandas(
-        lambda pdf: per_tile(pdf.drop(columns=["_t"])), schema
-    )
+        d = df.select(*sel).withColumn("_t", F.lit(0))
+        out = d.groupBy("_t").applyInPandas(
+            lambda pdf: per_tile(pdf.drop(columns=["_t"])), schema
+        )
+    return _stamp_grad_units(df, out, var, (out_x, out_y), coord_unit)
 
 
 @dataclass
 class Gradient:
     var: str
     kern: object = "sobel"  # registry name or (deriv, smooth) factor pair
+    # the reference's grids georeference coordinates in meters, so Gradient
+    # ALWAYS divides by a length unit: dimensionless a → a_x::m^-1, a::K →
+    # a_x::K*m^-1 (test/gradient.jl:8-20).  Set None to opt out of the
+    # metadata stamp.
+    coord_unit: object = "m"
 
     def apply(self, gt: GeoTable):
         d = gt.domain
@@ -245,7 +276,7 @@ class Gradient:
         m = d.meta
         out = gradient_long_df(
             gt.df, self.var, m.nx, m.ny, m.sx, m.sy, d.index_cols, d.tile_col,
-            kern=self.kern,
+            kern=self.kern, coord_unit=self.coord_unit,
         )
         return GeoTable(out, d, row_id=gt.row_id), None
 

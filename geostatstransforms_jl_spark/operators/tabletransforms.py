@@ -214,6 +214,24 @@ _AFFINE_UNITS = {
 }
 
 
+# SI base symbol each affine name converts INTO — stamped as column
+# metadata by absolute_units_df so downstream unit-deriving operators
+# (Gradient: unit(var)/coord_unit, functions/units.py) see what the
+# values now are.  Pressure keeps the derived symbol "Pa" and volume
+# "m^3"; angles stay "rad" (Unitful prints them, though they are
+# dimensionless in its algebra).
+_BASE_SYMBOL = {
+    "K": "K", "degC": "K", "degF": "K", "degR": "K",
+    "m": "m", "km": "m", "cm": "m", "mm": "m", "ft": "m", "mi": "m",
+    "in": "m", "yd": "m", "nmi": "m", "um": "m", "nm": "m",
+    "s": "s", "min": "s", "h": "s", "d": "s", "ms": "s", "us": "s",
+    "g": "kg", "kg": "kg", "lb": "kg", "t": "kg", "mg": "kg", "oz": "kg",
+    "Pa": "Pa", "bar": "Pa", "atm": "Pa", "psi": "Pa", "mmHg": "Pa",
+    "L": "m^3", "mL": "m^3", "gal": "m^3",
+    "rad": "rad", "deg": "rad",
+}
+
+
 def _unit_affine(u):
     """Resolve a unit spec to its (scale, offset) pair: a name from the
     built-in table, or an explicit ``(scale, offset)`` tuple for units the
@@ -240,13 +258,22 @@ def absolute_units_df(df, units: "dict[str, object]"):
     or an explicit affine pair ``{"temp": (scale, offset)}`` with
     value_abs = scale · value + offset.  Pure Catalyst projections — zero
     extra passes.
+
+    Named units also stamp the converted column's metadata with the SI
+    base symbol it now holds (``degC`` → values in K, ``{"unit": "K"}``),
+    which unit-deriving operators read (Gradient → ``K*m^-1``,
+    reference test/gradient.jl:14-19).  Explicit (scale, offset) pairs
+    carry no symbol and stamp nothing.
     """
     exprs = []
     for c in df.columns:
         if c in units:
             a, b = _unit_affine(units[c])
-            e = F.col(c).cast("double") * F.lit(a) + F.lit(b)
-            exprs.append(e.alias(c))
+            e = (F.col(c).cast("double") * F.lit(a) + F.lit(b))
+            sym = _BASE_SYMBOL.get(units[c]) if isinstance(units[c], str) else None
+            exprs.append(
+                e.alias(c, metadata={"unit": sym}) if sym else e.alias(c)
+            )
         else:
             exprs.append(F.col(c))
     return df.select(*exprs)
