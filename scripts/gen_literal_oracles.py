@@ -313,7 +313,9 @@ def replay_simhash_pairs(rows, max_hamming=3):
 def replay_minhash_dedup(rows, k=64, shingle=3, bands=16, rows_per_band=4,
                          threshold=0.7):
     """minhash_signatures + minhash_lsh_pairs + greedy dedup: distinct word
-    shingles → k min(xxhash64(sh, i)) → band-tuple buckets → candidate
+    shingles → base = xxhash64(sh) once per shingle → k
+    min(xxhash64(base:long, i)) (the derived family the engine computes; see
+    textops/dedup.py `minhash_signatures`) → band-tuple buckets → candidate
     pairs → est-Jaccard ≥ threshold → drop larger ids.  Returns survivor
     doc_ids.  Band-bucket equality replayed as tuple equality (the engine
     hashes the tuple; equal tuples hash equal, spurious 2⁻⁶⁴ collisions
@@ -324,8 +326,9 @@ def replay_minhash_dedup(rows, k=64, shingle=3, bands=16, rows_per_band=4,
         grams = list(dict.fromkeys(
             _win_join(w, p, shingle) for p in range(max(len(w) - shingle, 0) + 1)
         ))
+        bases = [spark_xxhash64(g) for g in grams]
         sigs[int(did)] = [
-            min(spark_xxhash64(g, i) for g in grams) for i in range(k)
+            min(spark_xxhash64(("long", b), i) for b in bases) for i in range(k)
         ]
     cand = set()
     for band in range(bands):
