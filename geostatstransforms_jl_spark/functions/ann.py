@@ -168,16 +168,20 @@ def cosine_pairs_lsh(
     rhs = b.select(
         F.col(id_col).alias("b"), F.col(vec_col).alias("bv"), "table", "bucket"
     )
-    cand = (
-        lhs.join(rhs, ["table", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    cand = lhs.join(rhs, ["table", "bucket"]).filter(F.col("a") < F.col("b"))
     cos = _dot("av", "bv") / (_norm_col("av") * _norm_col("bv"))
+    # cosine is a pure function of the pair, so the multi-table duplicate
+    # collapse runs AFTER scoring and thresholding: distinct over 24-byte
+    # (a, b, cosine) rows instead of a dropDuplicates whose first(av)/
+    # first(bv) array buffers fall off hash aggregation into SortAggregate
+    # and whose shuffle ships two dim-float vectors per candidate.  The dot
+    # is re-computed per colliding table (map-side) — shuffle bytes, not
+    # flops, are the corpus-scale bill.
     return (
         cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("a", "b", "cosine")
+        .distinct()
     )
 
 
@@ -235,14 +239,20 @@ def lsh_topk(
     cb = with_lsh_buckets(corpus, dim, n_tables, n_bits, id_col, vec_col, seed).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "table", "bucket"
     )
-    cand = qb.join(cb, ["table", "bucket"]).dropDuplicates(["q_id", "c_id"])
+    cand = qb.join(cb, ["table", "bucket"])
     if exclude_self:
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
     cos = _dot("qv", "cv") / (_norm_col("qv") * _norm_col("cv"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    # score before collapsing table-duplicates: distinct over (q_id, c_id,
+    # cosine) is a fixed-width HashAggregate and its shuffle drops the two
+    # dim-float vectors a dropDuplicates-first plan would carry (via
+    # SortAggregate first() buffers); the re-ranking window then reads
+    # 24-byte rows
     return (
         cand.withColumn("cosine", cos)
         .select("q_id", "c_id", "cosine")
+        .distinct()
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -301,14 +311,20 @@ def ivf_topk(
     ql = queries.select(id_col, vec_col).mapInPandas(assign(nprobe), schema).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "list_id"
     )
-    cand = ql.join(cl, "list_id").dropDuplicates(["q_id", "c_id"])
+    cand = ql.join(cl, "list_id")
     if exclude_self:
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
     cos = _dot("qv", "cv") / (_norm_col("qv") * _norm_col("cv"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    # each corpus vector lives in exactly one list (assign(1)), so a (q, c)
+    # pair occurs at most once per probe set and the collapse is defensive;
+    # run it on the scored 24-byte projection (fixed-width HashAggregate)
+    # rather than dropDuplicates carrying the two vectors through a
+    # SortAggregate (same plan reasoning as ann_lsh_topk above)
     return (
         cand.withColumn("cosine", cos)
         .select("q_id", "c_id", "cosine")
+        .distinct()
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

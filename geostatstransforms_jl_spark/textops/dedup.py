@@ -172,16 +172,23 @@ def minhash_lsh_pairs(
         b = _cap_buckets(b, ("band", "bucket"), max_bucket_size)
     l = b.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
     r = b.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
-    pairs = (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    cand = l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     ) / F.size("sig_a")
-    return pairs.select("a", "b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
+    # est_jaccard is a pure function of the pair (one signature per id), so
+    # the band-duplicate collapse runs AFTER projecting (a, b, est) and AFTER
+    # the threshold filter: the distinct is then one fixed-width HashAggregate
+    # over 24-byte rows.  dropDuplicates BEFORE scoring would carry
+    # first(sig_a)/first(sig_b) buffers — var-width aggregates fall off hash
+    # aggregation into SortAggregate AND the dedup shuffle ships two k-long
+    # arrays per candidate instead of a double.  Cost of the swap: est is
+    # re-computed per colliding band (≤ bands× per pair, map-side, cheap)
+    # rather than once per pair — at corpus scale shuffle bytes dominate.
+    return (
+        cand.select("a", "b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -301,9 +308,17 @@ def simhash_pairs(
         b = _cap_buckets(b, ("band", "bucket"), max_bucket_size)
     l = b.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "bucket")
     r = b.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "bucket")
-    cand = l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
+    cand = l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+    # hamming is a pure function of the pair: score → filter → distinct, so
+    # the collapse shuffle carries only hamming-qualified (a, b, hamming)
+    # rows (same reasoning as minhash_lsh_pairs — filter-before-dedup cuts
+    # the distinct's input to actual near-dups, usually ≪ candidates)
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def hamming_neardup_pairs(
