@@ -5,7 +5,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from geostatstransforms_jl_spark.functions.ann import cosine_topk, ivf_topk, lsh_topk
+from geostatstransforms_jl_spark.functions.ann import (
+    cosine_pairs_lsh,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from geostatstransforms_jl_spark.textops import (
     hamming_neardup_pairs,
     doc_fingerprint,
@@ -406,3 +411,33 @@ def test_hamming_neardup_pairs_vs_brute_force(spark):
             want.add((min(a, b), max(a, b), int(d[j])))
     assert len(want) >= 60
     assert got == want
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_banded_pair_collapse_stays_hash_aggregate(spark, docs, emb):
+    # The pair-collapse in every banded candidate path must run on the
+    # scored fixed-width (a, b, score) projection: a dropDuplicates BEFORE
+    # scoring would carry the signature/vector payload through first()
+    # aggregates, whose var-width buffers fall off hash aggregation into
+    # SortAggregate (per-partition sort + payload-wide dedup shuffle — the
+    # corpus-scale regression this pins).
+    sigs = minhash_signatures(docs)
+    plans = {
+        "minhash": _plan(minhash_lsh_pairs(sigs, max_bucket_size=None)),
+        "simhash": _plan(simhash_pairs(simhash_64(docs), max_bucket_size=None)),
+        "lsh_pairs": _plan(cosine_pairs_lsh(emb, threshold=0.9, dim=64)),
+        "lsh_topk": _plan(lsh_topk(emb.limit(5), emb, k=3, dim=64)),
+        "ivf_topk": _plan(ivf_topk(emb.limit(5), emb, k=3, n_centroids=4)),
+    }
+    for name, plan in plans.items():
+        assert "SortAggregate" not in plan, (name, plan)
+        assert "HashAggregate" in plan, (name, plan)
