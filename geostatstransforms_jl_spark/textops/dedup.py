@@ -349,6 +349,7 @@ def hamming_neardup_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.5, max_shingle_df: int = _DefaultCap(1000),
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard pairs via inverted-index self-join: only documents
     sharing at least one shingle ever meet.  Output (a, b, jaccard), a < b.
@@ -362,11 +363,28 @@ def ngram_jaccard_pairs(
     from full-universe Jaccard only for pairs whose resemblance rests on
     ubiquitous shingles, which is precisely the noise the cap removes.
     `max_shingle_df=None` gives full-universe exact Jaccard (unbounded);
-    relying on the default warns once per call site (`_resolve_cap`)."""
+    relying on the default warns once per call site (`_resolve_cap`).
+
+    With `hash_shingles` (default) the shingle universe is the 64-bit
+    `xxhash64` image of the n-gram strings: every downstream exchange —
+    the distinct, the df-cap aggregate, and the inverted-index self-join —
+    keys on 8-byte longs instead of ~n·word-length strings (~3× shuffle
+    bytes on prose, cheaper hash-table probes).  Jaccard is then exact
+    over hashed shingles: a 2⁻⁶⁴ string collision inflates |A∩B| by one —
+    across 10¹² distinct shingles that perturbs a handful of pairs'
+    similarity by one count globally, and never at test scale.  Pass
+    ``hash_shingles=False`` for the string-universe definition."""
     max_shingle_df = _resolve_cap(max_shingle_df, "max_shingle_df", "ngram_jaccard_pairs")
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-    ).distinct()
+    g = F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    grams = df.select(F.col(id_col), g)
+    if hash_shingles:
+        grams = grams.select(id_col, F.xxhash64("g").alias("g"))
+    # word_ngrams is array_distinct per doc, so (id, g) is already unique in
+    # the string universe; the distinct stays because the hashed universe
+    # needs it by DEFINITION (two distinct shingles colliding must count
+    # once) and on 8-byte keys it rides the exchange the df-cap/self-join
+    # need anyway
+    grams = grams.distinct()
     if max_shingle_df is not None:
         gdf = grams.groupBy("g").agg(F.count("*").alias("_df"))
         grams = grams.join(gdf.filter(F.col("_df") <= max_shingle_df), "g").drop("_df")
