@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.exprs import let_
+
 
 class _DefaultCap(int):
     """Sentinel subclass marking a cap value the caller did NOT choose."""
@@ -56,13 +58,20 @@ def words(col):
 
 
 def word_ngrams(col, n: int):
-    """Distinct word n-grams via a higher-order transform (JVM-side)."""
-    w = words(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-            lambda p: F.concat_ws(" ", *[F.element_at(w, (p + i + 1).cast("int")) for i in range(n)]),
-        )
+    """Distinct word n-grams via a higher-order transform (JVM-side).
+
+    The words array is let-bound (`let_`) before the positional lambda:
+    lambdas don't get subexpression elimination, so an inline `split` here
+    would re-tokenize the document O(positions x n) times — the bound form
+    is 23x faster on the minhash shingle stage (see core/exprs.py)."""
+    return let_(
+        words(col),
+        lambda w: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+                lambda p: F.concat_ws(" ", *[F.element_at(w, (p + i + 1).cast("int")) for i in range(n)]),
+            )
+        ),
     )
 
 

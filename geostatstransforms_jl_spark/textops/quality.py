@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core.exprs import let_
+
 # tiny stopword profiles; the language with the highest stopword-hit ratio
 # wins (n-gram/stopword heuristic — no external models in this container)
 STOPWORDS = {
@@ -90,10 +92,17 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 def doc_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Order-sensitive rolling fingerprint: xxhash64 chained over word-window
     hashes (winnowing-style content id), fully JVM-side via aggregate()."""
-    w = _words(F.col(text_col))
-    win = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - 4, F.lit(0))),
-        lambda p: F.xxhash64(F.concat_ws(" ", *[F.element_at(w, (p + i + 1).cast("int")) for i in range(4)])),
+    # let-bind the words array: an inline split referenced 4x per window
+    # position would re-tokenize O(positions x 4) times (see core/exprs.py)
+    rolled = let_(
+        _words(F.col(text_col)),
+        lambda w: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(w) - 4, F.lit(0))),
+                lambda p: F.xxhash64(F.concat_ws(" ", *[F.element_at(w, (p + i + 1).cast("int")) for i in range(4)])),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, h: F.xxhash64(acc, h),
+        ),
     )
-    rolled = F.aggregate(win, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
     return df.withColumn(out, rolled)

@@ -55,11 +55,11 @@ def t(label, fn):
 # 1. shingle explode + base hash only
 ex = docs.select("doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("sh"))
 exb = ex.select("doc_id", F.xxhash64(F.col("sh")).alias("shb"))
-t("shingle", lambda: exb.agg(F.sum("shb")).first()[0])
+t("shingle", lambda: exb.agg(F.sum(F.col("shb").cast("decimal(38,0)"))).first()[0])
 
 # 2. full signature pass (shingle + 64 derived min-aggs)
 sigs = minhash_signatures(docs)
-t("sigs", lambda: sigs.agg(F.sum(F.element_at("sig", 1))).first()[0])
+t("sigs", lambda: sigs.agg(F.sum(F.element_at("sig", 1).cast("decimal(38,0)"))).first()[0])
 
 # 3. LSH pairs from persisted signatures
 sigs_p = minhash_signatures(docs).persist()
