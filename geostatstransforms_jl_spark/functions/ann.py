@@ -161,27 +161,33 @@ def cosine_pairs_lsh(
     size (n_tables, n_bits) for the target threshold (low thresholds need few
     bits / many tables).  The exact `cosine_pairs` is the oracle-verified
     baseline; this is the 100-TB path where O(n^1.5) shuffle is too much."""
-    b = with_lsh_buckets(df, dim, n_tables, n_bits, id_col, vec_col, seed)
-    lhs = b.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("av"), "table", "bucket"
+    # Bucket rows carry (id, table, bucket) ONLY — never the dim-float
+    # vector: carrying it multiplies the bucket self-join exchange by
+    # n_tables x dim x 4 bytes per vector.  Candidate id-pairs collapse
+    # first (fixed-width 16-byte distinct, HashAggregate — no var-width
+    # first() buffers, so no SortAggregate fallback), then the vectors join
+    # back by id for ONE exact-cosine verification per pair; AQE broadcasts
+    # the candidate side when it fits.  Same restructure as
+    # minhash_lsh_pairs (textops/dedup.py), measured ~2.2x there.
+    b = with_lsh_buckets(
+        df, dim, n_tables, n_bits, id_col, vec_col, seed, include_vec=False
     )
-    rhs = b.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("bv"), "table", "bucket"
+    cand = (
+        b.select(F.col(id_col).alias("a"), "table", "bucket")
+        .join(b.select(F.col(id_col).alias("b"), "table", "bucket"), ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
-    cand = lhs.join(rhs, ["table", "bucket"]).filter(F.col("a") < F.col("b"))
+    vecs = df.select(id_col, vec_col)
+    j = cand.join(
+        vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av")), "a"
+    ).join(vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bv")), "b")
     cos = _dot("av", "bv") / (_norm_col("av") * _norm_col("bv"))
-    # cosine is a pure function of the pair, so the multi-table duplicate
-    # collapse runs AFTER scoring and thresholding: distinct over 24-byte
-    # (a, b, cosine) rows instead of a dropDuplicates whose first(av)/
-    # first(bv) array buffers fall off hash aggregation into SortAggregate
-    # and whose shuffle ships two dim-float vectors per candidate.  The dot
-    # is re-computed per colliding table (map-side) — shuffle bytes, not
-    # flops, are the corpus-scale bill.
     return (
-        cand.withColumn("cosine", cos)
+        j.withColumn("cosine", cos)
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("a", "b", "cosine")
-        .distinct()
     )
 
 
@@ -193,8 +199,14 @@ def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 7) -> np.ndar
 def with_lsh_buckets(
     df: DataFrame, dim: int, n_tables: int = 8, n_bits: int = 12,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+    include_vec: bool = True,
 ) -> DataFrame:
-    """(id, embedding, table, bucket) — one row per hash table."""
+    """(id[, embedding], table, bucket) — one row per hash table.
+
+    ``include_vec=False`` keeps the vector out of the OUTPUT SCHEMA (not
+    just a dropped column): mapInPandas output is opaque to Catalyst's
+    column pruning, so a dropped-after vector would still cross the
+    Arrow boundary n_tables times per input row."""
     H = _hyperplanes(dim, n_tables, n_bits, seed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,19 +216,16 @@ def with_lsh_buckets(
             for t in range(n_tables):
                 signs = (V @ H[t].T) > 0  # (n, n_bits)
                 buckets = (signs * (1 << np.arange(n_bits))).sum(axis=1)
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            id_col: pdf[id_col],
-                            vec_col: pdf[vec_col],
-                            "table": t,
-                            "bucket": buckets.astype(np.int64),
-                        }
-                    )
-                )
+                cols = {id_col: pdf[id_col]}
+                if include_vec:
+                    cols[vec_col] = pdf[vec_col]
+                cols["table"] = t
+                cols["bucket"] = buckets.astype(np.int64)
+                rows.append(pd.DataFrame(cols))
             yield pd.concat(rows, ignore_index=True)
 
-    schema = f"{id_col} long, {vec_col} array<float>, table int, bucket long"
+    vec_field = f" {vec_col} array<float>," if include_vec else ""
+    schema = f"{id_col} long,{vec_field} table int, bucket long"
     return df.select(id_col, vec_col).mapInPandas(run, schema)
 
 
@@ -233,26 +242,30 @@ def lsh_topk(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: bucket equi-join candidates + exact re-rank."""
-    qb = with_lsh_buckets(queries, dim, n_tables, n_bits, id_col, vec_col, seed).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "table", "bucket"
-    )
-    cb = with_lsh_buckets(corpus, dim, n_tables, n_bits, id_col, vec_col, seed).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "table", "bucket"
-    )
+    # vec-free bucket rows; table-duplicate collapse on bare (q_id, c_id)
+    # — a fixed-width HashAggregate — then ONE vector join-back per side
+    # for the exact re-rank (same no-carry restructure as cosine_pairs_lsh:
+    # carrying cv through the bucket join ships the corpus vector n_tables
+    # times, the join-back ships it once and AQE broadcasts the small
+    # candidate/query sides)
+    qb = with_lsh_buckets(
+        queries, dim, n_tables, n_bits, id_col, vec_col, seed, include_vec=False
+    ).select(F.col(id_col).alias("q_id"), "table", "bucket")
+    cb = with_lsh_buckets(
+        corpus, dim, n_tables, n_bits, id_col, vec_col, seed, include_vec=False
+    ).select(F.col(id_col).alias("c_id"), "table", "bucket")
     cand = qb.join(cb, ["table", "bucket"])
     if exclude_self:
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
+    cand = cand.select("q_id", "c_id").distinct()
+    j = cand.join(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")), "q_id"
+    ).join(corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")), "c_id")
     cos = _dot("qv", "cv") / (_norm_col("qv") * _norm_col("cv"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
-    # score before collapsing table-duplicates: distinct over (q_id, c_id,
-    # cosine) is a fixed-width HashAggregate and its shuffle drops the two
-    # dim-float vectors a dropDuplicates-first plan would carry (via
-    # SortAggregate first() buffers); the re-ranking window then reads
-    # 24-byte rows
     return (
-        cand.withColumn("cosine", cos)
+        j.withColumn("cosine", cos)
         .select("q_id", "c_id", "cosine")
-        .distinct()
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -164,40 +164,56 @@ def minhash_lsh_pairs(
     `_resolve_cap`) so the reduced-recall default is never silent."""
     max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "minhash_lsh_pairs")
     assert bands * rows <= 1000
+    # Band bucket = xxhash64 over the band's `rows` signature LONGS directly
+    # (the 8-byte fast path), not over a concat_ws string of them: equal
+    # band tuples still hash equal (spurious 2^-64 collisions ignored, same
+    # contract as before) and the string materialization disappears —
+    # measured 2.25x on the capped banded scan at 150k docs.
     b = sigs.select(
         id_col,
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.xxhash64(F.concat_ws("_", *[F.col("sig")[i * rows + r] for r in range(rows)])).alias("bucket"),
+                    F.xxhash64(*[F.col("sig")[i * rows + r] for r in range(rows)]).alias("bucket"),
                 )
                 for i in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket_size is not None:
         b = _cap_buckets(b, ("band", "bucket"), max_bucket_size)
-    l = b.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    r = b.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
-    cand = l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+    # The banded exchange ships (id, band, bucket) ONLY — never the k-long
+    # signature.  Carrying sig through the explode multiplied the big
+    # shuffle by bands x k x 8 bytes per doc (~8.7 KB/doc at k=64, b=16 vs
+    # ~384 B/doc bare); instead candidate id-pairs are collapsed first (a
+    # fixed-width 16-byte distinct, HashAggregate) and the signatures join
+    # back by id for scoring.  The join-back touches the compact sig frame
+    # (k longs/doc) keyed by id, and the candidate side is the small one —
+    # AQE broadcasts it when it fits.  Net vs sig-carry: the dominant
+    # exchange shrinks ~20x and est is computed exactly once per pair;
+    # measured 17.2 s -> 7.8 s on the pairs stage at 150k docs, local[4],
+    # identical pair set.  (An earlier design dropDuplicates'd BEFORE
+    # scoring while carrying sigs — first() var-width buffers fell off hash
+    # aggregation into SortAggregate; the bare-id distinct keeps every
+    # aggregate fixed-width, pinned by
+    # test_banded_pair_collapse_stays_hash_aggregate.)
+    l = b.select(F.col(id_col).alias("a"), "band", "bucket")
+    r = b.select(F.col(id_col).alias("b"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    j = cand.join(sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a")), "a").join(
+        sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b")), "b"
+    )
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     ) / F.size("sig_a")
-    # est_jaccard is a pure function of the pair (one signature per id), so
-    # the band-duplicate collapse runs AFTER projecting (a, b, est) and AFTER
-    # the threshold filter: the distinct is then one fixed-width HashAggregate
-    # over 24-byte rows.  dropDuplicates BEFORE scoring would carry
-    # first(sig_a)/first(sig_b) buffers — var-width aggregates fall off hash
-    # aggregation into SortAggregate AND the dedup shuffle ships two k-long
-    # arrays per candidate instead of a double.  Cost of the swap: est is
-    # re-computed per colliding band (≤ bands× per pair, map-side, cheap)
-    # rather than once per pair — at corpus scale shuffle bytes dominate.
-    return (
-        cand.select("a", "b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
-        .distinct()
+    return j.select("a", "b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
     )
 
 
