@@ -27,23 +27,27 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
     """Most-hits-wins stopword voting; ties broken by language code order
     (deterministic).  `array_intersect`-free formulation: per-language hit
     counts via a filtered size, all in one projection."""
-    w = _words(F.col(text_col))
     langs = sorted(STOPWORDS)
-    scores = []
-    for idx, lang in enumerate(langs):
-        lit = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-        hits = F.size(F.filter(w, lambda t: F.array_contains(lit, t)))
-        # desc sort key (hits, pref) with pref = reversed index, so equal-hit
-        # ties resolve to the alphabetically smallest language code
-        scores.append(
-            F.struct(
-                hits.alias("hits"),
-                F.lit(len(langs) - 1 - idx).alias("pref"),
-                F.lit(lang).alias("lang"),
+
+    def score(w):
+        # one tokenization feeds all four language filters (let-bound: the
+        # inline split would otherwise run once per language; core/exprs.py)
+        scores = []
+        for idx, lang in enumerate(langs):
+            lit = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+            hits = F.size(F.filter(w, lambda t: F.array_contains(lit, t)))
+            # desc sort key (hits, pref) with pref = reversed index, so
+            # equal-hit ties resolve to the alphabetically smallest code
+            scores.append(
+                F.struct(
+                    hits.alias("hits"),
+                    F.lit(len(langs) - 1 - idx).alias("pref"),
+                    F.lit(lang).alias("lang"),
+                )
             )
-        )
-    best = F.sort_array(F.array(*scores), asc=False)[0]
-    return df.withColumn(out, best.getField("lang"))
+        return F.sort_array(F.array(*scores), asc=False)[0].getField("lang")
+
+    return df.withColumn(out, let_(_words(F.col(text_col)), score))
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,13 +70,14 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio heuristics → quality in [0, 1]."""
     txt = F.col(text_col)
-    w = _words(txt)
-    n_tok = F.size(w)
+    en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    # let-bind the token array: n_tok and the stopword filter share ONE split
+    n_tok = let_(_words(txt), F.size)
     n_char = F.length(txt)
     punct = F.length(F.regexp_replace(txt, r"[^\p{Punct}]", ""))
-    en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    stop_ratio = F.size(F.filter(w, lambda t: F.array_contains(en, t))) / F.greatest(
-        n_tok, F.lit(1)
+    stop_ratio = let_(
+        _words(txt),
+        lambda w: F.size(F.filter(w, lambda t: F.array_contains(en, t))) / F.greatest(F.size(w), F.lit(1)),
     )
     mean_wlen = n_char / F.greatest(n_tok, F.lit(1))
     punct_ratio = punct / F.greatest(n_char, F.lit(1))
