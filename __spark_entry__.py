@@ -1139,6 +1139,32 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution Z-order tile pyramid (functions/geocell.py:cell_pyramid):
+    ONE O(n) base hash-aggregate at grid res 5 over the supplier extent, then
+    five coarser tiers re-aggregated from that small base — counts and integer
+    sums add, min/max nest.  Six zoom levels, one scan of the raw table; the
+    naive per-level GROUP BY would scan it six times.  Values are acctbal
+    cents (exact bigints) so sums are order-independent across engines."""
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.functions.geocell import cell_pyramid
+
+    pts = _supplier_points(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("bal") * 100).cast("long")
+    )
+    grid = CellGrid.box2d(0.0, 0.0, 97.0, 89.0, 5)
+    out = cell_pyramid(
+        pts,
+        grid,
+        coords=("x", "y"),
+        sum_cols=("cents",),
+        min_cols=("cents",),
+        max_cols=("cents",),
+        persist=False,  # gate runs in a shared session; keep the plan pure
+    )
+    return out.select("level", "zkey", "n_rows", "sum_cents", "min_cents", "max_cents")
+
+
 def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ball-cover radius join (functions/knn.py:radius_join): every
     customer-point pair within euclidean distance 2.5, excluding self.
@@ -1272,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup_e2e": q_image_neardup_e2e,
         "metric_knn": q_metric_knn,
         "metric_radius": q_metric_radius,
+        "cell_pyramid": q_cell_pyramid,
         # -- last driver-green in r03; rotated out of the r04 window ---------
         "gradient_3d": q_gradient_3d,
         "units_convert": q_units_convert,
@@ -1305,7 +1332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "image_gradient": q_image_gradient,
@@ -1322,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         # ==== 50-slot window boundary (driver checks entries above) =========
         # -- r04-green near-duplicates of queries inside the window ----------
+        "ann_lsh_topk": q_ann_lsh_topk,  # ann_ivf_topk, LSH-bucketed twin
         "rasterize_points": q_rasterize_points,  # rasterize_polygons, point case
         "slic_cells": q_slic_cells,  # slic_clusters, label-identical cell route
         "token_stats": q_token_stats,  # subset of docs_clean_pipeline stats
@@ -1953,6 +1980,47 @@ def _oracle_sql_base() -> dict[str, str]:
                    MAX(zkey) AS zmax
             FROM k
             GROUP BY 1
+        """,
+        # tile pyramid: same Morton spreading as zorder_cells, then ONE base
+        # rollup re-grouped at every level via zkey >> 2L (CROSS JOIN against
+        # a level list) — counts/int-sums add, min/max nest, so the single
+        # GROUP BY is identical to the engine's tiered re-aggregation.
+        # CAST(SUM ...): DuckDB's SUM(BIGINT) is HUGEINT, which pandas turns
+        # into float64/object — pin it back to BIGINT for the schema compare.
+        "cell_pyramid": f"""
+            WITH p AS ({_SUPP_PTS}),
+            i AS (
+              SELECT GREATEST(0, LEAST(31, CAST(floor(x / 3.03125) AS BIGINT))) AS vx,
+                     GREATEST(0, LEAST(31, CAST(floor(y / 2.78125) AS BIGINT))) AS vy,
+                     CAST(ROUND(bal * 100) AS BIGINT) AS cents
+              FROM p
+            ),
+            s1 AS (SELECT (vx | (vx << 16)) & 281470681808895 AS vx,
+                          (vy | (vy << 16)) & 281470681808895 AS vy, cents FROM i),
+            s2 AS (SELECT (vx | (vx << 8)) & 71777214294589695 AS vx,
+                          (vy | (vy << 8)) & 71777214294589695 AS vy, cents FROM s1),
+            s3 AS (SELECT (vx | (vx << 4)) & 1085102592571150095 AS vx,
+                          (vy | (vy << 4)) & 1085102592571150095 AS vy, cents FROM s2),
+            s4 AS (SELECT (vx | (vx << 2)) & 3689348814741910323 AS vx,
+                          (vy | (vy << 2)) & 3689348814741910323 AS vy, cents FROM s3),
+            s5 AS (SELECT (vx | (vx << 1)) & 6148914691236517205 AS vx,
+                          (vy | (vy << 1)) & 6148914691236517205 AS vy, cents FROM s4),
+            k AS (SELECT (vx | (vy << 1)) AS zkey, cents FROM s5),
+            base AS (
+              SELECT zkey, COUNT(*) AS n_rows,
+                     CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                     MIN(cents) AS min_cents, MAX(cents) AS max_cents
+              FROM k GROUP BY 1
+            ),
+            lv AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5)) t(level))
+            SELECT lv.level AS level,
+                   base.zkey >> (2 * lv.level) AS zkey,
+                   CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                   CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+                   MIN(min_cents) AS min_cents,
+                   MAX(max_cents) AS max_cents
+            FROM base CROSS JOIN lv
+            GROUP BY 1, 2
         """,
         # brute-force ball query: same double arithmetic ((dx*dx)+(dy*dy),
         # then sqrt) as functions/knn.py:_dist_expr, so dist rounds equal

@@ -146,3 +146,88 @@ def tile_cells(
             f"({key_col!r}/'n_rows'/'n_distinct'): {sorted(dupes)}"
         )
     return out
+
+
+def cell_pyramid(
+    df: DataFrame,
+    grid: CellGrid,
+    coords: Sequence[str] = ("x", "y"),
+    levels: Optional[int] = None,
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    distinct_col: Optional[str] = None,
+    hll_lgk: int = 12,
+    key_col: str = "zkey",
+    level_col: str = "level",
+    persist: bool = True,
+) -> DataFrame:
+    """Multi-resolution tile pyramid: the ``tile_cells`` rollup at EVERY
+    zoom level 0..`levels` in one pass over the data.  Level 0 is the
+    grid's native resolution; level L keys are ``zkey >> 2L`` (Z-order
+    parent = one shift), so level `grid.res` is the single root cell.
+
+    The 100-TB contract is that the base data is scanned ONCE: the level-0
+    hash aggregate is the only O(n_rows) Exchange, its O(occupied-cells)
+    result is persisted, and every coarser level re-aggregates that small
+    base — counts and sums add, min/max nest, and distinct-counting rides
+    DataSketches HLL (``hll_sketch_agg`` per base cell, ``hll_union_agg``
+    upward), whose register-max union makes "union of sketches" EQUAL
+    "sketch of the union" — the mergeability that exact distinct
+    fundamentally lacks (see ``tile_cells``' exact-vs-HLL measurement).
+    A naive ``GROUP BY`` per level re-reads the input once per level —
+    at 10¹² rows and 10 zoom levels that is 10 full scans for what this
+    plan does in one.
+
+    Output: one row per (level, parent cell) with ``n_rows``,
+    ``sum_<c>``/``min_<c>``/``max_<c>`` per caller column, and
+    ``n_distinct`` (HLL estimate) when `distinct_col` is given.  The
+    persisted base is released before returning only if the caller
+    materializes the result; with ``persist=False`` the plan stays pure
+    (each level's branch recomputes the base — fine for small inputs or
+    when the caller persists the base themselves)."""
+    if levels is None:
+        levels = grid.res
+    if not 0 <= levels <= grid.res:
+        raise ValueError(f"levels must be in [0, grid.res={grid.res}]; got {levels}")
+    reserved = {key_col, level_col, "n_rows", "n_distinct"}
+    outnames = [f"{k}_{c}" for k, cols in
+                (("sum", sum_cols), ("min", min_cols), ("max", max_cols))
+                for c in cols]
+    clash = reserved & set(outnames)
+    if clash or len(set(outnames)) != len(outnames):
+        raise ValueError(f"derived output names collide: {sorted(clash) or outnames}")
+
+    keyed = df.withColumn(key_col, morton_cell(grid, F.col(coords[0]), F.col(coords[1])))
+    base_aggs = [F.count("*").alias("n_rows")]
+    base_aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    base_aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+    base_aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    if distinct_col is not None:
+        base_aggs.append(F.hll_sketch_agg(distinct_col, hll_lgk).alias("_hll"))
+    base = keyed.groupBy(key_col).agg(*base_aggs)
+    if persist:
+        base = base.persist()
+
+    def finish(lvl_df: DataFrame, lvl: int) -> DataFrame:
+        out = lvl_df.withColumn(level_col, F.lit(lvl))
+        if distinct_col is not None:
+            out = out.withColumn("n_distinct", F.hll_sketch_estimate("_hll")).drop("_hll")
+        return out.select(level_col, key_col, "n_rows",
+                          *outnames, *(["n_distinct"] if distinct_col else []))
+
+    tiers = [finish(base, 0)]
+    for lvl in range(1, levels + 1):
+        re_aggs = [F.sum("n_rows").alias("n_rows")]
+        re_aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+        re_aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+        re_aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+        if distinct_col is not None:
+            re_aggs.append(F.hll_union_agg("_hll").alias("_hll"))
+        tier = (base.groupBy(morton_parent(F.col(key_col), lvl).alias(key_col))
+                    .agg(*re_aggs))
+        tiers.append(finish(tier, lvl))
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out

@@ -207,3 +207,80 @@ def test_tile_cells_rejects_bad_contracts(spark):
             df, grid, distinct_col="v",
             aggs=[F.max("v").alias("n_distinct")],
         )
+
+
+def test_cell_pyramid_exact_reagg_and_hll_union(spark):
+    """Every pyramid level must equal a direct rollup of the RAW rows at
+    that level's key (n_rows/sum/min/max exactly; HLL identically — the
+    register-max union of per-cell sketches IS the sketch of the union)."""
+    from geostatstransforms_jl_spark.functions.geocell import cell_pyramid
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    rows = [
+        (float(x), float(y), int(p), int(v))
+        for x, y, p, v in zip(
+            rng.random(n), rng.random(n),
+            rng.integers(0, 500, n), rng.integers(-50, 50, n),
+        )
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, phash long, v long")
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 4)  # 256 cells, levels 0..4
+
+    pyr = cell_pyramid(
+        df, grid, sum_cols=("v",), min_cols=("v",), max_cols=("v",),
+        distinct_col="phash",
+    )
+    got = {(r.level, r.zkey): (r.n_rows, r.sum_v, r.min_v, r.max_v, r.n_distinct)
+           for r in pyr.collect()}
+
+    keyed = df.withColumn("zkey", morton_cell(grid, F.col("x"), F.col("y")))
+    for lvl in range(grid.res + 1):
+        direct = (
+            keyed.groupBy(F.shiftrightunsigned("zkey", 2 * lvl).alias("k"))
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi"),
+                 F.countDistinct("phash").alias("nd"))
+        )
+        exp = {r.k: (r.n, r.s, r.lo, r.hi) for r in direct.collect()}
+        exact_nd = {r.k: r.nd for r in direct.collect()}
+        lvl_got = {k: v[:4] for (l, k), v in got.items() if l == lvl}
+        assert lvl_got == exp, f"level {lvl} mismatch"
+        # unioned sketches vs exact distinct: within HLL's documented band
+        # (union forces dense HLL mode, so it is NOT bit-equal to a direct
+        # small-cardinality sketch — only estimate-close)
+        for (l, k), v in got.items():
+            if l == lvl:
+                assert abs(v[4] - exact_nd[k]) <= max(3, 0.05 * exact_nd[k]), \
+                    f"level {lvl} cell {k}: hll {v[4]} vs exact {exact_nd[k]}"
+    # the root level is ONE cell covering everything
+    assert [k for (l, k) in got if l == grid.res] == [0]
+    assert got[(grid.res, 0)][0] == n
+
+
+def test_cell_pyramid_scans_base_once_and_validates(spark):
+    import pytest
+    from geostatstransforms_jl_spark.functions.geocell import cell_pyramid
+
+    df = spark.range(100).select(
+        (F.col("id") % 10 / 10.0).alias("x"),
+        (F.col("id") % 7 / 7.0).alias("y"),
+        F.col("id").alias("v"),
+    )
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 3)
+    pyr = cell_pyramid(df, grid, sum_cols=("v",), levels=3)
+    try:
+        plan = pyr._jdf.queryExecution().executedPlan().toString()
+        # persisted base: coarser tiers re-aggregate the cached level-0
+        # rollup (one O(n) aggregate total), never the raw input again
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        assert pyr.where(F.col("level") == 3).count() == 1
+    finally:
+        spark.catalog.clearCache()
+
+    with pytest.raises(ValueError, match="levels"):
+        cell_pyramid(df, grid, levels=9)
+    with pytest.raises(ValueError, match="collide"):
+        cell_pyramid(df, grid, sum_cols=("v", "v"))
+    with pytest.raises(ValueError, match="collide"):
+        cell_pyramid(df, grid, sum_cols=("v",), key_col="sum_v")
