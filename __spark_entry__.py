@@ -291,9 +291,14 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return minhash_dedup(docs, threshold=0.7, max_bucket_size=1000).select(
-        "doc_id", "lang", "source"
-    )
+    # The signature cache this creates is released by callers via the
+    # result's `gst_caches` handle (bench.py unpersists between timed reps
+    # so best-of-N never reads a semi-warm run); in the one-shot gate
+    # session the single small (~MBs) entry dies with the session.
+    out = minhash_dedup(docs, threshold=0.7, max_bucket_size=1000)
+    sel = out.select("doc_id", "lang", "source")
+    sel.gst_caches = out.gst_caches
+    return sel
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

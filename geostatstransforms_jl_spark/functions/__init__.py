@@ -1,10 +1,11 @@
-from .geocell import morton_cell, tile_cells, zorder_repartition
+from .geocell import cell_pyramid, morton_cell, tile_cells, zorder_repartition
 from .knn import knn_join, metric_cholesky, radius_join
 from .timeseries import sessionize, time_rollup
 
 __all__ = [
     "knn_join",
     "metric_cholesky",
+    "cell_pyramid",
     "morton_cell",
     "radius_join",
     "sessionize",

@@ -182,10 +182,15 @@ def cell_pyramid(
     Output: one row per (level, parent cell) with ``n_rows``,
     ``sum_<c>``/``min_<c>``/``max_<c>`` per caller column, and
     ``n_distinct`` (HLL estimate) when `distinct_col` is given.  The
-    persisted base is released before returning only if the caller
-    materializes the result; with ``persist=False`` the plan stays pure
-    (each level's branch recomputes the base — fine for small inputs or
-    when the caller persists the base themselves)."""
+    result is lazy, so the library cannot release the persisted base
+    itself; its handle is attached to the returned DataFrame as
+    ``out.gst_caches`` — long-lived sessions should
+    ``for c in out.gst_caches: c.unpersist()`` after materializing —
+    explicit persists are not freed by memory pressure (MEMORY_AND_DISK
+    spills instead of evicting), so an unreleased entry lives until
+    session end.  With ``persist=False`` the plan stays
+    pure (each level's branch recomputes the base — fine for small inputs
+    or when the caller persists the base themselves)."""
     if levels is None:
         levels = grid.res
     if not 0 <= levels <= grid.res:
@@ -230,4 +235,5 @@ def cell_pyramid(
     out = tiers[0]
     for t in tiers[1:]:
         out = out.unionByName(t)
+    out.gst_caches = [base] if persist else []
     return out

@@ -265,15 +265,25 @@ def absolute_units_df(df, units: "dict[str, object]"):
     reference test/gradient.jl:14-19).  Explicit (scale, offset) pairs
     carry no symbol and stamp nothing.
     """
+    from ..functions.units import _meta
+
     exprs = []
     for c in df.columns:
         if c in units:
             a, b = _unit_affine(units[c])
             e = (F.col(c).cast("double") * F.lit(a) + F.lit(b))
             sym = _BASE_SYMBOL.get(units[c]) if isinstance(units[c], str) else None
-            exprs.append(
-                e.alias(c, metadata={"unit": sym}) if sym else e.alias(c)
-            )
+            # merge, don't replace: the column may carry unrelated metadata
+            # (comments, lineage stamps) that the conversion must not drop —
+            # same contract as functions.units.with_units.  A pre-existing
+            # "unit" key is always superseded: by the new base symbol for
+            # named units, by nothing for explicit (scale, offset) pairs
+            # (the converted unit is unknown, and keeping the stale symbol
+            # would mislabel converted values).
+            meta = {k: v for k, v in _meta(df, c).items() if k != "unit"}
+            if sym:
+                meta["unit"] = sym
+            exprs.append(e.alias(c, metadata=meta) if meta else e.alias(c))
         else:
             exprs.append(F.col(c))
     return df.select(*exprs)

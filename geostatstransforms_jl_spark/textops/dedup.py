@@ -233,14 +233,24 @@ def minhash_dedup(
     bill paid multiple times.  The cache is the compact side (k longs ≈
     k·8 B/doc vs the raw text), lazily populated, MEMORY_AND_DISK.  Pass
     ``persist_sigs=False`` for a pure-lazy plan (e.g. composing into a
-    larger query you'll persist yourself); output is identical."""
+    larger query you'll persist yourself); output is identical.
+
+    The library has no safe point to release the cache itself (the result
+    is lazy), so the handle is attached to the returned DataFrame as
+    ``out.gst_caches`` — long-lived sessions calling this in a loop should
+    ``for c in out.gst_caches: c.unpersist()`` once the result is
+    materialized; explicit persists are not freed by memory pressure
+    (MEMORY_AND_DISK spills instead of evicting), so an unreleased entry
+    lives until session end."""
     max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "minhash_dedup")
     sigs = minhash_signatures(df, text_col, id_col, k, shingle)
     if persist_sigs:
         sigs = sigs.persist()
     pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold, max_bucket_size)
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    out.gst_caches = [sigs] if persist_sigs else []
+    return out
 
 
 def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -8,9 +8,10 @@ levels so only executor parallelism differs (BENCH/BASELINE.md, round-4
 protocol note).
 
 Workload shape (defaults): 150k synthetic prose documents of ~60 words from
-a 40k-word Zipf-ish vocabulary, with 10% planted near-duplicates (a copy of
-the previous doc with 3 words resampled — est-Jaccard ≈ 0.85, above the 0.7
-threshold) and 2% planted exact duplicates.  Deterministic per doc_id via
+a 40k-word Zipf-ish vocabulary, with 2% planted near-duplicates (doc_id
+mod 50 == 1: a copy of the previous doc with 3 words resampled —
+est-Jaccard ≈ 0.85, above the 0.7 threshold) and 2% planted exact
+duplicates (mod 50 == 2).  Deterministic per doc_id via
 splitmix64, so both levels (and reruns) see byte-identical input.
 
 Determinism gate: survivor count AND survivor-id checksum must be identical
