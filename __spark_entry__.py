@@ -301,6 +301,23 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel
 
 
+def q_minhash_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components near-dup policy (functions/graph.py pointer-
+    jumping label propagation over the LSH pair graph): one survivor per
+    similarity component vs minhash_dedup's greedy drop-larger-side.  The
+    oracle replays the same pairs and runs an INDEPENDENT union-find
+    (scripts/gen_literal_oracles.py:replay_minhash_dedup_cc)."""
+    from geostatstransforms_jl_spark.textops import minhash_dedup_cc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = minhash_dedup_cc(docs, threshold=0.7, max_bucket_size=1000)
+    sel = out.select("doc_id", "lang", "source")
+    sel.gst_caches = out.gst_caches
+    return sel
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.textops import simhash_64, simhash_pairs
 
@@ -1304,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_knn": q_metric_knn,
         "metric_radius": q_metric_radius,
         "cell_pyramid": q_cell_pyramid,
+        "minhash_dedup_cc": q_minhash_dedup_cc,
         # -- last driver-green in r03; rotated out of the r04 window ---------
         "gradient_3d": q_gradient_3d,
         "units_convert": q_units_convert,
@@ -1336,7 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "image_gradient": q_image_gradient,
@@ -1354,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== 50-slot window boundary (driver checks entries above) =========
         # -- r04-green near-duplicates of queries inside the window ----------
         "ann_lsh_topk": q_ann_lsh_topk,  # ann_ivf_topk, LSH-bucketed twin
+        "ann_cosine_topk": q_ann_cosine_topk,  # ann_ivf_topk, brute-force twin
         "rasterize_points": q_rasterize_points,  # rasterize_polygons, point case
         "slic_cells": q_slic_cells,  # slic_clusters, label-identical cell route
         "token_stats": q_token_stats,  # subset of docs_clean_pipeline stats

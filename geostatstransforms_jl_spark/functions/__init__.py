@@ -1,3 +1,4 @@
+from .graph import connected_components
 from .geocell import cell_pyramid, morton_cell, tile_cells, zorder_repartition
 from .knn import knn_join, metric_cholesky, radius_join
 from .timeseries import sessionize, time_rollup
@@ -6,6 +7,7 @@ __all__ = [
     "knn_join",
     "metric_cholesky",
     "cell_pyramid",
+    "connected_components",
     "morton_cell",
     "radius_join",
     "sessionize",

@@ -3,6 +3,7 @@ from .dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     minhash_dedup,
+    minhash_dedup_cc,
     simhash_64,
     simhash_pairs,
     hamming_neardup_pairs,
@@ -15,6 +16,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_dedup",
+    "minhash_dedup_cc",
     "simhash_64",
     "simhash_pairs",
     "hamming_neardup_pairs",

@@ -253,6 +253,40 @@ def minhash_dedup(
     return out
 
 
+def minhash_dedup_cc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 64, shingle: int = 3, bands: int = 16, rows: int = 4, threshold: float = 0.7,
+    max_bucket_size: int = _DefaultCap(1000), persist_sigs: bool = True,
+) -> DataFrame:
+    """Connected-components near-dup removal: build the LSH pair graph,
+    collapse it with ``functions.graph.connected_components``, keep ONE
+    document per component (the minimum id).  Unlike ``minhash_dedup``'s
+    greedy policy — which drops b only when some smaller a matched it
+    DIRECTLY — this collapses similarity chains (a~b, b~c drops both b and
+    c even though a and c never matched), the policy large corpus cleanups
+    (e.g. C4/RefinedWeb-style pipelines) usually want.
+
+    Cost over greedy: the O(log n)-round label-propagation loop on the
+    PAIR graph only — the signature/banding bill is identical.  The loop
+    is eager (it must converge before the survivor set is known), so this
+    operator materializes components at call time; cache-release contract
+    matches ``minhash_dedup`` (``out.gst_caches``)."""
+    from ..functions.graph import connected_components
+
+    max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "minhash_dedup_cc")
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle)
+    if persist_sigs:
+        sigs = sigs.persist()
+    pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold, max_bucket_size)
+    comp = connected_components(pairs, src="a", dst="b")
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    out = df.join(losers, id_col, "left_anti")
+    out.gst_caches = [sigs] if persist_sigs else []
+    return out
+
+
 def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document — fully JVM-side: explode tokens, hash with
     `xxhash64`, per-bit majority as 64 conditional long sums in ONE hash

@@ -320,6 +320,14 @@ def replay_minhash_dedup(rows, k=64, shingle=3, bands=16, rows_per_band=4,
     doc_ids.  Band-bucket equality replayed as tuple equality (the engine
     hashes the tuple; equal tuples hash equal, spurious 2⁻⁶⁴ collisions
     ignored)."""
+    ids, pairs = _replay_minhash_pairs(rows, k, shingle, bands, rows_per_band, threshold)
+    return ids - {b for _, b in pairs}
+
+
+def _replay_minhash_pairs(rows, k=64, shingle=3, bands=16, rows_per_band=4,
+                          threshold=0.7):
+    """Shared pair replay: returns (all doc ids, scored pairs (a, b) with
+    a < b and est-Jaccard ≥ threshold)."""
     sigs = {}
     for did, text in rows:
         w = _norm_words(text)
@@ -341,12 +349,33 @@ def replay_minhash_dedup(rows, k=64, shingle=3, bands=16, rows_per_band=4,
             for i in range(len(mem)):
                 for j in range(i + 1, len(mem)):
                     cand.add((mem[i], mem[j]))
-    losers = set()
+    pairs = set()
     for a, b in cand:
         eq = sum(1 for i in range(k) if sigs[a][i] == sigs[b][i])
         if eq / k >= threshold:
-            losers.add(max(a, b))
-    return set(sigs) - losers
+            pairs.add((a, b))
+    return set(sigs), pairs
+
+
+def replay_minhash_dedup_cc(rows, k=64, shingle=3, bands=16, rows_per_band=4,
+                            threshold=0.7):
+    """Connected-components policy over the SAME replayed pair set: one
+    survivor (the min id) per component — independent union-find, nothing
+    imported from functions/graph.py."""
+    ids, pairs = _replay_minhash_pairs(rows, k, shingle, bands, rows_per_band, threshold)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i for i in ids if find(i) == i}
 
 
 # ---- jpeg lossy-spec replay --------------------------------------------------
@@ -1092,6 +1121,17 @@ def main():
         + ")"
     )
 
+    cc_survivors = replay_minhash_dedup_cc(doc_rows, threshold=0.7)
+    mdcc_sql = (
+        "SELECT col0::BIGINT AS doc_id, col1 AS lang, col2 AS source "
+        "FROM (VALUES "
+        + ", ".join(
+            f"({d}, {q(lang)}, {q(src)})"
+            for d, _, lang, src in docs if d in cc_survivors
+        )
+        + ")"
+    )
+
     def round6(v):
         return Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
 
@@ -1216,6 +1256,7 @@ def main():
         f'    "doc_fingerprint": """{fp_sql}""",\n'
         f'    "simhash_pairs": """{sp_sql}""",\n'
         f'    "minhash_dedup": """{md_sql}""",\n'
+        f'    "minhash_dedup_cc": """{mdcc_sql}""",\n'
         f'    "image_gradient": """{ig_sql}""",\n'
         f'    "ann_lsh_topk": """{ann_sql(lsh)}""",\n'
         f'    "ann_ivf_topk": """{ann_sql(ivf)}""",\n'
@@ -1235,6 +1276,7 @@ def main():
     print(f"wrote {OUT}: modefilter={len(mf)} maxposterior={len(mp)} "
           f"quenching={len(qu)} kriging={len(kr)} fingerprint={len(fp)} "
           f"simhash_pairs={len(sp)} minhash_survivors={len(survivors)} "
+          f"minhash_cc_survivors={len(cc_survivors)} "
           f"image_gradient={len(ig)} ann_lsh={len(lsh)} ann_ivf={len(ivf)} potrace={len(pot)} "
           f"slic={len(sl)} ghc={len(gh)} gsc={len(gs)} "
           f"resize={len(rz)} video={len(vf)} audio={len(au)}")
