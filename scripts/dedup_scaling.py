@@ -18,7 +18,13 @@ Determinism gate: survivor count AND survivor-id checksum must be identical
 across levels (asserted) — output invariance across cluster sizes, the same
 evidence shape the image pipeline records.
 
-Usage: python scripts/dedup_scaling.py [n_docs] [low] [high] [reps] [shuffle_partitions]
+Usage: python scripts/dedup_scaling.py [n_docs] [low] [high] [reps] [shuffle_partitions] [policy]
+
+`policy` (argv[6], default greedy) picks the survivor rule: `greedy` is
+minhash_dedup's drop-larger-side anti-join; `cc` is minhash_dedup_cc's
+one-survivor-per-component (pointer-jumping connected components over the
+same pair graph) — the delta between the two runs is the price of the
+O(log n)-round label-propagation loop, everything upstream is identical.
 """
 
 import hashlib
@@ -34,6 +40,8 @@ LOW = sys.argv[2] if len(sys.argv) > 2 else "1"
 HIGH = sys.argv[3] if len(sys.argv) > 3 else "4"
 REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 SP = int(sys.argv[5]) if len(sys.argv) > 5 else 2 * int(HIGH)
+POLICY = sys.argv[6] if len(sys.argv) > 6 else "greedy"
+assert POLICY in ("greedy", "cc"), POLICY
 
 GEN = """
 import sys
@@ -94,16 +102,18 @@ import json, sys, time
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from geostatstransforms_jl_spark.core.session import get_spark
-from geostatstransforms_jl_spark.textops.dedup import minhash_dedup
+from geostatstransforms_jl_spark.textops.dedup import minhash_dedup, minhash_dedup_cc
 
 cpus, path, n, sp = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+policy = sys.argv[5]
 spark = get_spark(app=f"gst-dedup-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=sp)
 spark.range(10).count()  # JVM warm
 
 docs = spark.read.parquet(path)  # 64 files -> scan parallelism is real here
 t0 = time.perf_counter()
-kept = minhash_dedup(docs, threshold=0.7, max_bucket_size=1000)
+fn = minhash_dedup if policy == "greedy" else minhash_dedup_cc
+kept = fn(docs, threshold=0.7, max_bucket_size=1000)
 res = kept.agg(
     F.count("*").alias("n_kept"),
     F.sum(F.xxhash64(F.col("doc_id").cast("string"))
@@ -121,7 +131,7 @@ print("DEDUP_JSON " + json.dumps({
 def run_level(cpus: str) -> dict:
     p = subprocess.run(
         [sys.executable, "-c", WORKER % {"repo": REPO},
-         cpus, FIXTURE, str(N), str(SP)],
+         cpus, FIXTURE, str(N), str(SP), POLICY],
         capture_output=True, text=True, cwd=REPO,
     )
     lines = [l for l in p.stdout.splitlines() if l.startswith("DEDUP_JSON ")]
@@ -162,7 +172,8 @@ def main():
     ratio = int(HIGH) / int(LOW)
     eff = best[HIGH]["docs_per_sec"] / best[LOW]["docs_per_sec"] / ratio
     out = {
-        "stage": "minhash_dedup", "docs": N, "shuffle_partitions": SP,
+        "stage": f"minhash_dedup_{POLICY}", "docs": N,
+        "shuffle_partitions": SP,
         "low": best[LOW], "high": best[HIGH],
         "runs": {k: [r["sec"] for r in v] for k, v in runs.items()},
         "scaling_efficiency": round(eff, 3),
