@@ -1,3 +1,3 @@
-from .catalog import load_table, load_media, TABLES
+from .catalog import load_table, load_media, write_zordered, TABLES
 
-__all__ = ["load_table", "load_media", "TABLES"]
+__all__ = ["load_table", "load_media", "write_zordered", "TABLES"]

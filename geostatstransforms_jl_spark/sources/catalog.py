@@ -29,6 +29,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    grid,
+    coords=("x", "y"),
+    num_files: "int | None" = None,
+    key_col: str = "zkey",
+    mode: str = "error",
+) -> None:
+    """Write `df` as parquet spatially clustered on the Z-order curve —
+    the sink-side half of ``functions.geocell.zorder_repartition``: range-
+    partition + sort on the Morton key so each output file holds one
+    contiguous space-filling-curve segment.
+
+    Why this is the 100-TB layout: a file whose rows are a curve segment
+    has TIGHT parquet row-group min/max statistics on x, y, and `key_col`
+    — so coordinate-range predicates and cell-key equi-joins prune whole
+    files/row-groups at the scan, before any compute (the same reason
+    Iceberg/Delta offer Z-order table maintenance).  An unsorted write
+    gives every file near-global min/max and pruning never fires.  The
+    key column is kept in the output (pruning needs its stats; drop it
+    downstream if unwanted)."""
+    from ..functions.geocell import zorder_repartition
+
+    out = zorder_repartition(
+        df, grid, coords=coords, num_partitions=num_files, key_col=key_col
+    )
+    out.write.mode(mode).parquet(path)
+
+
 def load_media(
     spark: SparkSession,
     path: str,
