@@ -14,12 +14,13 @@ Algorithm: iterative **min-label propagation with pointer jumping**
 
 Pointer jumping is what turns the worst case from O(diameter) rounds into
 O(log n): a path of 2^k nodes converges in ~k rounds, not 2^k.  Each
-round is two shuffles (an equi-join on node id + a min hash-aggregate),
-all fixed-width (two longs per row), with ``localCheckpoint`` truncating
-the lineage so the plan does not grow with iterations — the standard
-guard for iterative DataFrame algorithms.  Convergence is detected by a
-changed-label count (one scalar action per round, driver receives one
-long).
+round runs three label equi-joins (one per edge direction + the
+pointer-jump self-join), one min hash-aggregate, and the convergence-
+count join — every exchange fixed-width (two longs per row), with
+``localCheckpoint`` truncating the lineage so the plan does not grow
+with iterations — the standard guard for iterative DataFrame
+algorithms.  Convergence is detected by a changed-label count (one
+scalar action per round, driver receives one long).
 
 At 100-TB dedup scale the edge list is the SMALL side (near-dup pairs are
 a sliver of the corpus); rounds are O(log n) and every shuffle carries
@@ -54,7 +55,11 @@ def connected_components(
     The result is materialized (the convergence loop is inherently
     eager); the returned DataFrame is a ``localCheckpoint`` — no lineage
     back to `edges`, safe to reuse without re-running the loop."""
-    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # persist the raw edges BEFORE the eager node-set checkpoint below: the
+    # caller's edge pipeline (e.g. the whole LSH banding/scoring chain) is
+    # materialized exactly once, into this cache; every later use — the
+    # node set and all per-round joins — reads the cache
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
     # node set from the RAW edges: a node whose only edge is a self-loop
     # still appears in the output (as its own component)
     labels = (
@@ -64,7 +69,8 @@ def connected_components(
         .withColumn(comp_out, F.col(id_out))
         .localCheckpoint()
     )
-    e = raw.filter(F.col("s") != F.col("d")).persist()
+    # cache-read + cheap filter per use; no second persist needed
+    e = raw.filter(F.col("s") != F.col("d"))
     try:
         for _ in range(max_iter):
             nbr = e.join(
@@ -112,4 +118,4 @@ def connected_components(
             "node count genuinely warrants it"
         )
     finally:
-        e.unpersist()
+        raw.unpersist()

@@ -242,15 +242,30 @@ def minhash_dedup(
     materialized; explicit persists are not freed by memory pressure
     (MEMORY_AND_DISK spills instead of evicting), so an unreleased entry
     lives until session end."""
-    max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "minhash_dedup")
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle)
-    if persist_sigs:
-        sigs = sigs.persist()
-    pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold, max_bucket_size)
+    sigs, pairs = _minhash_pair_graph(
+        df, text_col, id_col, k, shingle, bands, rows, threshold,
+        max_bucket_size, persist_sigs, "minhash_dedup",
+    )
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     out = df.join(losers, id_col, "left_anti")
     out.gst_caches = [sigs] if persist_sigs else []
     return out
+
+
+def _minhash_pair_graph(
+    df, text_col, id_col, k, shingle, bands, rows, threshold,
+    max_bucket_size, persist_sigs, fn_name,
+):
+    """Shared signature→pair pipeline for the dedup policies: resolves the
+    cap, builds (optionally persisted) signatures, returns (sigs, pairs).
+    One copy, so cap semantics / signature options / cache contract cannot
+    silently diverge between policies."""
+    max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", fn_name)
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle)
+    if persist_sigs:
+        sigs = sigs.persist()
+    pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold, max_bucket_size)
+    return sigs, pairs
 
 
 def minhash_dedup_cc(
@@ -268,22 +283,27 @@ def minhash_dedup_cc(
 
     Cost over greedy: the O(log n)-round label-propagation loop on the
     PAIR graph only — the signature/banding bill is identical.  The loop
-    is eager (it must converge before the survivor set is known), so this
-    operator materializes components at call time; cache-release contract
-    matches ``minhash_dedup`` (``out.gst_caches``)."""
+    is eager (it must converge before the survivor set is known), and
+    components come back as a lineage-free checkpoint — so unlike
+    ``minhash_dedup`` the signature cache is dead by return time and is
+    released HERE; ``out.gst_caches`` is always empty, nothing for the
+    caller to manage."""
     from ..functions.graph import connected_components
 
-    max_bucket_size = _resolve_cap(max_bucket_size, "max_bucket_size", "minhash_dedup_cc")
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle)
-    if persist_sigs:
-        sigs = sigs.persist()
-    pairs = minhash_lsh_pairs(sigs, id_col, bands, rows, threshold, max_bucket_size)
+    sigs, pairs = _minhash_pair_graph(
+        df, text_col, id_col, k, shingle, bands, rows, threshold,
+        max_bucket_size, persist_sigs, "minhash_dedup_cc",
+    )
     comp = connected_components(pairs, src="a", dst="b")
+    if persist_sigs:
+        # comp is a localCheckpoint: no lineage back to sigs survives the
+        # eager loop, so the cache has no further reader — release it now
+        sigs.unpersist()
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
     out = df.join(losers, id_col, "left_anti")
-    out.gst_caches = [sigs] if persist_sigs else []
+    out.gst_caches = []
     return out
 
 
