@@ -103,3 +103,30 @@ def test_minhash_cc_collapses_star_through_largest_id(spark):
     assert pairs == {(1, 3), (2, 3)}
     assert greedy == {1, 2}   # 2 survives: its only match, 3, has a larger id
     assert cc == {1}          # {1,2,3} is one component; keep the min
+
+
+def test_components_over_hamming_pair_graph(spark):
+    """connected_components is generic over any pair generator: feed it the
+    banded-Hamming pair graph on a phash-like signature column (the image
+    near-dup path).  Chain 10-11-12 via 1-bit flips plus an isolated far
+    signature: at max_hamming=1 the ends (hamming 2) never pair directly,
+    but CC collapses the whole chain."""
+    from geostatstransforms_jl_spark.textops import hamming_neardup_pairs
+    from geostatstransforms_jl_spark.functions.graph import connected_components
+
+    s = 0x0123456789ABCDEF
+    rows = [
+        (10, s),
+        (11, s ^ (1 << 3)),             # 1 bit from 10
+        (12, s ^ (1 << 3) ^ (1 << 17)), # 1 bit from 11, 2 bits from 10
+        (99, ~s & 0x7FFFFFFFFFFFFFFF),  # far from everything
+    ]
+    imgs = spark.createDataFrame(rows, "image_id long, phash long")
+    pairs = hamming_neardup_pairs(
+        imgs, sig_col="phash", id_col="image_id", max_hamming=1,
+        max_bucket_size=None,
+    )
+    assert {(r.a, r.b) for r in pairs.collect()} == {(10, 11), (11, 12)}
+    comp = {r.id: r.component for r in
+            connected_components(pairs, src="a", dst="b").collect()}
+    assert comp == {10: 10, 11: 10, 12: 10}  # node 99 has no edges
