@@ -148,6 +148,24 @@ def tile_cells(
     return out
 
 
+def _pyramid_contract(grid, levels, sum_cols, min_cols, max_cols, key_col, level_col):
+    """Shared validation for the batch and streaming pyramids: resolve
+    `levels`, derive the sum_/min_/max_ output names, reject collisions
+    with the reserved columns and among themselves."""
+    if levels is None:
+        levels = grid.res
+    if not 0 <= levels <= grid.res:
+        raise ValueError(f"levels must be in [0, grid.res={grid.res}]; got {levels}")
+    reserved = {key_col, level_col, "n_rows", "n_distinct"}
+    outnames = [f"{k}_{c}" for k, cols in
+                (("sum", sum_cols), ("min", min_cols), ("max", max_cols))
+                for c in cols]
+    clash = reserved & set(outnames)
+    if clash or len(set(outnames)) != len(outnames):
+        raise ValueError(f"derived output names collide: {sorted(clash) or outnames}")
+    return levels, outnames
+
+
 def cell_pyramid(
     df: DataFrame,
     grid: CellGrid,
@@ -191,18 +209,9 @@ def cell_pyramid(
     session end.  With ``persist=False`` the plan stays
     pure (each level's branch recomputes the base — fine for small inputs
     or when the caller persists the base themselves)."""
-    if levels is None:
-        levels = grid.res
-    if not 0 <= levels <= grid.res:
-        raise ValueError(f"levels must be in [0, grid.res={grid.res}]; got {levels}")
-    reserved = {key_col, level_col, "n_rows", "n_distinct"}
-    outnames = [f"{k}_{c}" for k, cols in
-                (("sum", sum_cols), ("min", min_cols), ("max", max_cols))
-                for c in cols]
-    clash = reserved & set(outnames)
-    if clash or len(set(outnames)) != len(outnames):
-        raise ValueError(f"derived output names collide: {sorted(clash) or outnames}")
-
+    levels, outnames = _pyramid_contract(
+        grid, levels, sum_cols, min_cols, max_cols, key_col, level_col
+    )
     keyed = df.withColumn(key_col, morton_cell(grid, F.col(coords[0]), F.col(coords[1])))
     base_aggs = [F.count("*").alias("n_rows")]
     base_aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]

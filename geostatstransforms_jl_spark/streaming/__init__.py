@@ -3,6 +3,7 @@ from .incremental import (
     streaming_quality,
     streaming_sessionize,
     streaming_tile_agg,
+    streaming_cell_pyramid,
     streaming_tile_cells,
     streaming_time_rollup,
     streaming_unique_coords,
@@ -13,6 +14,7 @@ __all__ = [
     "streaming_quality",
     "streaming_sessionize",
     "streaming_tile_agg",
+    "streaming_cell_pyramid",
     "streaming_tile_cells",
     "streaming_time_rollup",
     "streaming_unique_coords",

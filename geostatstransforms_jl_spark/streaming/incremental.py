@@ -154,6 +154,61 @@ def streaming_tile_cells(
     )
 
 
+def streaming_cell_pyramid(
+    stream: DataFrame,
+    grid,
+    coords=("x", "y"),
+    levels: "int | None" = None,
+    sum_cols=(),
+    min_cols=(),
+    max_cols=(),
+    key_col: str = "zkey",
+    level_col: str = "level",
+) -> DataFrame:
+    """Streaming twin of ``functions.geocell.cell_pyramid``: every zoom
+    level's rollup maintained incrementally over an append stream.
+
+    Structured Streaming forbids chained aggregations, so the batch plan
+    (aggregate the base once, re-aggregate tiers from it) is
+    inexpressible here.  Instead each input row is exploded to its
+    (level, ancestor-key) pairs BEFORE the single streaming aggregate:
+    the shuffle/state cost of the (levels+1)× row amplification collapses
+    in the map-side partial aggregate to O(occupied cells × levels) —
+    the same state size the batch tiers hold — and count/sum/min/max are
+    associative, so micro-batches fold into standing per-(level, cell)
+    state exactly.  Distinct-count stays in the batch twin: the HLL
+    sketch-union plan needs the re-aggregation shape (and min/max, while
+    associative, make the state append-only-correct but not
+    retractable — fine for append streams, which is this module's
+    contract throughout).
+
+    Output schema and semantics match the batch operator column for
+    column (same `_pyramid_contract`); a `complete`/`update`-mode sink
+    over a bounded source converges to the batch result row-for-row
+    (parity-tested in tests/test_pipeline_lineage.py)."""
+    from ..functions.geocell import _pyramid_contract, morton_cell
+
+    levels, outnames = _pyramid_contract(
+        grid, levels, sum_cols, min_cols, max_cols, key_col, level_col
+    )
+    keyed = stream.withColumn(
+        key_col, morton_cell(grid, F.col(coords[0]), F.col(coords[1]))
+    )
+    lvl = F.explode(
+        F.array(*[F.lit(l) for l in range(levels + 1)])
+    ).alias(level_col)
+    # shift by a COLUMN: the pyspark helper only takes a literal bit count,
+    # but the underlying SQL expression is a plain binary op
+    exploded = keyed.select("*", lvl).withColumn(
+        key_col, F.expr(f"shiftrightunsigned({key_col}, 2 * {level_col})")
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    return exploded.groupBy(level_col, key_col).agg(*aggs)
+
+
 def streaming_quality(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """Stateless per-row projection — identical plan in batch and streaming."""
     from ..textops.quality import quality_scores, token_stats

@@ -760,3 +760,46 @@ def test_streaming_sessionize_kill_resume(spark, tmp_path):
     )
     assert len(g) == len(set(g)), "a session was emitted twice across restart"
     assert g == b
+
+
+def test_streaming_cell_pyramid_parity(spark, tmp_path):
+    # streaming pyramid (explode-levels, one streaming aggregate) over a
+    # bounded file source == batch cell_pyramid (persisted base + tier
+    # re-aggregation) row-for-row, every zoom level
+    import numpy as np
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.functions.geocell import cell_pyramid
+    from geostatstransforms_jl_spark.streaming import streaming_cell_pyramid
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    rows = [(float(x), float(y), int(v)) for x, y, v in
+            zip(rng.random(n), rng.random(n), rng.integers(-100, 100, n))]
+    df = spark.createDataFrame(rows, "x double, y double, v long")
+    src = tmp_path / "pyr_src"
+    df.write.parquet(str(src))
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 5)
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    agg = streaming_cell_pyramid(
+        stream, grid, sum_cols=("v",), min_cols=("v",), max_cols=("v",)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pyr_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {(r.level, r.zkey): (r.n_rows, r.sum_v, r.min_v, r.max_v)
+           for r in spark.sql("select * from pyr_stream").collect()}
+
+    batch = cell_pyramid(
+        df, grid, sum_cols=("v",), min_cols=("v",), max_cols=("v",),
+        persist=False,
+    )
+    want = {(r.level, r.zkey): (r.n_rows, r.sum_v, r.min_v, r.max_v)
+            for r in batch.collect()}
+    assert got == want
+    assert {l for l, _ in got} == set(range(6))
