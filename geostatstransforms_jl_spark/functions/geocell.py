@@ -156,6 +156,8 @@ def _pyramid_contract(grid, levels, sum_cols, min_cols, max_cols, key_col, level
         levels = grid.res
     if not 0 <= levels <= grid.res:
         raise ValueError(f"levels must be in [0, grid.res={grid.res}]; got {levels}")
+    if key_col == level_col:
+        raise ValueError(f"key_col and level_col must differ; both are {key_col!r}")
     reserved = {key_col, level_col, "n_rows", "n_distinct"}
     outnames = [f"{k}_{c}" for k, cols in
                 (("sum", sum_cols), ("min", min_cols), ("max", max_cols))
@@ -164,6 +166,16 @@ def _pyramid_contract(grid, levels, sum_cols, min_cols, max_cols, key_col, level
     if clash or len(set(outnames)) != len(outnames):
         raise ValueError(f"derived output names collide: {sorted(clash) or outnames}")
     return levels, outnames
+
+
+def _pyramid_base_aggs(sum_cols, min_cols, max_cols):
+    """Shared count/sum/min/max aggregate list for both pyramid twins —
+    one copy, so the output naming contract cannot diverge."""
+    aggs = [F.count("*").alias("n_rows")]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    return aggs
 
 
 def cell_pyramid(
@@ -213,10 +225,7 @@ def cell_pyramid(
         grid, levels, sum_cols, min_cols, max_cols, key_col, level_col
     )
     keyed = df.withColumn(key_col, morton_cell(grid, F.col(coords[0]), F.col(coords[1])))
-    base_aggs = [F.count("*").alias("n_rows")]
-    base_aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
-    base_aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
-    base_aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    base_aggs = _pyramid_base_aggs(sum_cols, min_cols, max_cols)
     if distinct_col is not None:
         base_aggs.append(F.hll_sketch_agg(distinct_col, hll_lgk).alias("_hll"))
     base = keyed.groupBy(key_col).agg(*base_aggs)

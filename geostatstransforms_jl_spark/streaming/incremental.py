@@ -186,26 +186,31 @@ def streaming_cell_pyramid(
     column (same `_pyramid_contract`); a `complete`/`update`-mode sink
     over a bounded source converges to the batch result row-for-row
     (parity-tested in tests/test_pipeline_lineage.py)."""
-    from ..functions.geocell import _pyramid_contract, morton_cell
+    from ..functions.geocell import (
+        _pyramid_base_aggs, _pyramid_contract, morton_cell)
 
     levels, outnames = _pyramid_contract(
         grid, levels, sum_cols, min_cols, max_cols, key_col, level_col
     )
+    # project down to (key, agg sources) BEFORE the explode: an input
+    # column that happens to share level_col's name would otherwise make
+    # the select ambiguous (the batch twin drops extra columns in its base
+    # aggregate; this projection is the streaming equivalent)
+    srcs = list(dict.fromkeys([*sum_cols, *min_cols, *max_cols]))
     keyed = stream.withColumn(
         key_col, morton_cell(grid, F.col(coords[0]), F.col(coords[1]))
-    )
+    ).select(key_col, *srcs)
     lvl = F.explode(
         F.array(*[F.lit(l) for l in range(levels + 1)])
     ).alias(level_col)
     # shift by a COLUMN: the pyspark helper only takes a literal bit count,
-    # but the underlying SQL expression is a plain binary op
+    # but the underlying SQL expression is a plain binary op; backticks keep
+    # non-plain identifiers (spaces, reserved words) working like the
+    # Column-API batch twin does
     exploded = keyed.select("*", lvl).withColumn(
-        key_col, F.expr(f"shiftrightunsigned({key_col}, 2 * {level_col})")
+        key_col, F.expr(f"shiftrightunsigned(`{key_col}`, 2 * `{level_col}`)")
     )
-    aggs = [F.count("*").alias("n_rows")]
-    aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
-    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
-    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    aggs = _pyramid_base_aggs(sum_cols, min_cols, max_cols)
     return exploded.groupBy(level_col, key_col).agg(*aggs)
 
 

@@ -803,3 +803,49 @@ def test_streaming_cell_pyramid_parity(spark, tmp_path):
             for r in batch.collect()}
     assert got == want
     assert {l for l, _ in got} == set(range(6))
+
+
+def test_streaming_cell_pyramid_hostile_names(spark, tmp_path):
+    # input already carries a 'level' column AND the key column name needs
+    # quoting — the projection-before-explode and backticked shift must
+    # keep streaming parity with batch (which drops extras in its base agg)
+    import pytest as _pytest
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.functions.geocell import cell_pyramid
+    from geostatstransforms_jl_spark.streaming import streaming_cell_pyramid
+
+    df = spark.range(500).select(
+        (F.col("id") % 23 / 23.0).alias("x"),
+        (F.col("id") % 17 / 17.0).alias("y"),
+        F.col("id").alias("v"),
+        (F.col("id") % 9).alias("level"),  # decoy input column
+    )
+    src = tmp_path / "pyr_hostile"
+    df.write.parquet(str(src))
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 3)
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    agg = streaming_cell_pyramid(
+        stream, grid, sum_cols=("v",), key_col="cell key"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pyr_hostile")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {(r["level"], r["cell key"]): (r["n_rows"], r["sum_v"])
+           for r in spark.sql("select * from pyr_hostile").collect()}
+    batch = cell_pyramid(
+        df.drop("level"), grid, sum_cols=("v",), key_col="cell key",
+        persist=False,
+    )
+    want = {(r["level"], r["cell key"]): (r["n_rows"], r["sum_v"])
+            for r in batch.collect()}
+    assert got == want
+
+    # shared contract: same-name key/level columns are rejected up front
+    with _pytest.raises(ValueError, match="must differ"):
+        cell_pyramid(df.drop("level"), grid, key_col="k", level_col="k")
