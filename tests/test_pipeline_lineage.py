@@ -849,3 +849,54 @@ def test_streaming_cell_pyramid_hostile_names(spark, tmp_path):
     # shared contract: same-name key/level columns are rejected up front
     with _pytest.raises(ValueError, match="must differ"):
         cell_pyramid(df.drop("level"), grid, key_col="k", level_col="k")
+
+
+def test_streaming_cell_pyramid_kill_resume(spark, tmp_path):
+    # same exactly-once contract as the tile_cells kill/resume, for the
+    # multi-level rollup: phase 2 reads ONLY the new files (offsets
+    # recovered) yet every tier reflects ALL rows (state recovered)
+    import numpy as np
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.functions.geocell import cell_pyramid
+    from geostatstransforms_jl_spark.streaming import streaming_cell_pyramid
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    rows = [(int(i), float(x), float(y), int(v)) for i, (x, y, v) in
+            enumerate(zip(rng.random(n), rng.random(n),
+                          rng.integers(-50, 50, n)))]
+    df = spark.createDataFrame(rows, "i long, x double, y double, v long")
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 4)
+    src, ckpt = tmp_path / "pyr_src", str(tmp_path / "pyr_ckpt")
+    df.filter(F.col("i") < 1400).coalesce(2).write.parquet(str(src))
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_cell_pyramid(stream, grid, sum_cols=("v",))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    assert run("pyr_phase1") == 1400
+    df.filter(F.col("i") >= 1400).coalesce(2).write.mode("append").parquet(str(src))
+    assert run("pyr_phase2") == 600, "restart re-read already-committed files"
+
+    got = {(r.level, r.zkey): (r.n_rows, r.sum_v)
+           for r in spark.sql("select * from pyr_phase2").collect()}
+    want = {(r.level, r.zkey): (r.n_rows, r.sum_v)
+            for r in cell_pyramid(
+                spark.read.parquet(str(src)), grid, sum_cols=("v",),
+                persist=False,
+            ).collect()}
+    assert got == want
