@@ -1,7 +1,8 @@
 """Generate literal-table DuckDB oracles for the deterministic-but-not-SQL
 queries (VERDICT r2 next-step 6): `modefilter`, `maxposterior`, `quenching`,
 `kriging_neighbors`, `doc_fingerprint`, `simhash_pairs`, `minhash_dedup`,
-`image_gradient`, `ann_lsh_topk`, `ann_ivf_topk`, `image_potrace`.
+`minhash_dedup_cc`, `image_gradient`, `ann_lsh_topk`, `ann_ivf_topk`,
+`image_potrace`.
 
 The expected outputs are computed here with INDEPENDENT numpy replays of the
 reference semantics (the same replay logic as tests/test_differential_replays.py
