@@ -121,23 +121,27 @@ def streaming_tile_cells(
     the aggregate — a `min(string)` would carry a var-length buffer and fall
     back to the sort-based aggregate (the exact plan regression the batch
     twin engineered away; PLANS.md "images_tile_cells"), paid per
-    micro-batch here.  `id_index_expr` defaults to the trailing digits of
-    the canonical `img%08d` ids; pass your own numeric Column (+ matching
-    `id_format`) for other id schemes.  Ids with NO trailing digits yield a
-    NULL representative — the observable signal to do so.  Ids with a
-    DIFFERENT prefix but trailing digits (e.g. ``vid00000007``) are the
-    silent case: the default extracts the digits and re-formats them as
-    ``img%08d``, fabricating a representative that does not exist in the
-    input — any trailing-digit scheme other than ``img%08d`` MUST pass an
-    explicit ``id_format`` (and usually `id_index_expr`)."""
+    micro-batch here.  `id_index_expr` defaults to an extraction matched to
+    `id_format`: under the default ``img%08d`` it accepts ONLY canonical
+    ``img<8+ digits>`` ids, so any other scheme — no trailing digits OR a
+    different prefix (e.g. ``vid00000007``) — yields a NULL representative,
+    the observable signal to pass your own `id_format` (and usually
+    `id_index_expr`).  A custom `id_format` without `id_index_expr` falls
+    back to generic trailing-digit extraction: by passing the format you
+    declare the reconstruction, so re-formatting those digits is correct by
+    contract."""
     from ..core.images import georef_lonlat
     from ..functions.geocell import morton_cell
 
     if id_index_expr is None:
+        # the default format only reconstructs ids it can round-trip: anchor
+        # the whole canonical shape, so 'vid00000007' gives NULL instead of
+        # a fabricated 'img00000007' that does not exist in the input
+        pat = r"^img(\d{8,})$" if id_format == "img%08d" else r"(\d+)$"
         # try_cast: regexp_extract yields '' on no-match, and a plain cast of
         # '' THROWS under ANSI mode (Spark 4 default) — the contract is a
         # NULL representative, not a failed micro-batch
-        id_index_expr = F.regexp_extract(F.col(id_col), r"(\d+)$", 1).try_cast("long")
+        id_index_expr = F.regexp_extract(F.col(id_col), pat, 1).try_cast("long")
     lon, lat = georef_lonlat(phash_col)
     keyed = stream.withColumn("zkey", morton_cell(grid, lon, lat))
     return keyed.groupBy("zkey").agg(

@@ -630,6 +630,23 @@ def test_streaming_tile_cells_non_numeric_ids(spark):
     assert only_bad.collect()[0].first_image is None
 
 
+def test_streaming_tile_cells_foreign_prefix_ids(spark):
+    # ADVICE r5: a trailing-digit scheme with a non-img prefix must NOT be
+    # silently re-formatted into a fabricated 'img…' id; under the default
+    # id_format it yields NULL, and declaring the format restores a real id
+    from geostatstransforms_jl_spark.core.cells import CellGrid
+    from geostatstransforms_jl_spark.streaming import streaming_tile_cells
+
+    df = spark.createDataFrame(
+        [("vid00000007", 123456789, "a"), ("vid00000003", 123456789, "b")],
+        "image_id string, phash long, caption string",
+    )
+    grid = CellGrid.box2d(0.0, 0.0, 1.0, 1.0, 3)
+    assert streaming_tile_cells(df, grid).collect()[0].first_image is None
+    declared = streaming_tile_cells(df, grid, id_format="vid%08d").collect()
+    assert declared[0].first_image == "vid00000003"
+
+
 def test_streaming_tile_cells_kill_resume(spark, tmp_path):
     # VERDICT r4 #5: stop the north-star streaming rollup mid-stream and
     # restart from the checkpoint dir.  Phase 2 must (a) read ONLY the new
