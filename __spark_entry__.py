@@ -256,6 +256,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select("doc_id", "dup_count")
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment: membership is a
+    pure function of (doc_id, seed) via xxhash64 bucketing — reproducible at
+    any cluster size, zero shuffles.  Oracle: clean-room XXH64 literal
+    replay (scripts/sparkhash.py, the same independently-validated hash the
+    doc_fingerprint oracle pins)."""
+    from geostatstransforms_jl_spark.textops import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=7
+    ).select("doc_id", "split")
+
+
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: whitespace token counts
+    (same formulation the token_stats oracle pins), documents concatenated
+    in doc_id order, sliced into 512-token windows.  Computed as a
+    distributed prefix sum (range shards + one exchange + broadcast shard
+    offsets), never a single-partition global window; shard_size=64 so the
+    sf0.01 gate exercises the multi-shard offset path (~8 shards).  Oracle:
+    the equivalent cumulative-sum window in DuckDB SQL."""
+    from geostatstransforms_jl_spark.textops import chunk_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.withColumn(
+        "n_toks",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long"),
+    )
+    return chunk_pack(toks, 512, "n_toks", shard_size=64).select(
+        "doc_id", "n_toks", "chunk_id", "chunk_offset", "n_chunks"
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.textops import token_stats
 
@@ -1303,8 +1337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver verifies the first 50 entries in dict order against the
     oracles, so ordering is evidence policy, not cosmetics:
 
-    * slots 1-2: queries that have NEVER had a driver-green row
-      (``metric_knn``/``metric_radius`` as of r05) go first;
+    * leading slots: queries that have NEVER had a driver-green row
+      (as of r05: the new ``chunk_pack``/``hash_split`` packing pair, the
+      phash/near-dup pair, ``metric_knn``/``metric_radius``, the cell
+      pyramid, and connected-components dedup) go first;
     * slots 3-9: queries whose last driver-green row is from an older
       snapshot (rotated out of the r04 window) come next;
     * remaining slots: one representative per operator family, freshest
@@ -1316,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-verified before r05 --------------------------------
+        "chunk_pack": q_chunk_pack,
+        "hash_split": q_hash_split,
         "image_phash64": q_image_phash64,
         "image_neardup_e2e": q_image_neardup_e2e,
         "metric_knn": q_metric_knn,
@@ -1361,15 +1399,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_tile_cells": q_images_tile_cells,
         "images_knn": q_images_knn,
         "image_potrace": q_image_potrace,
-        "image_resize": q_image_resize,
         "video_frame_sample": q_video_frame_sample,
-        "audio_rms": q_audio_rms,
         "docs_clean_pipeline": q_docs_clean_pipeline,
         "doc_fingerprint": q_doc_fingerprint,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         # ==== 50-slot window boundary (driver checks entries above) =========
         # -- r04-green near-duplicates of queries inside the window ----------
+        "image_resize": q_image_resize,  # video_frame_sample, same zero-shuffle
+        "audio_rms": q_audio_rms,  # mapInPandas packed-media shape (r04 green,
+        #   both also pinned by literal oracles + property tests)
         "ann_lsh_topk": q_ann_lsh_topk,  # ann_ivf_topk, LSH-bucketed twin
         "ann_cosine_topk": q_ann_cosine_topk,  # ann_ivf_topk, brute-force twin
         "rasterize_points": q_rasterize_points,  # rasterize_polygons, point case
@@ -1704,6 +1743,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
                    length(text) AS n_chars_engine
             FROM documents
+        """,
+        "chunk_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_toks,
+                     (SUM(n_toks) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) - n_toks)::BIGINT AS s
+              FROM t
+            )
+            SELECT doc_id, n_toks,
+                   (s // 512)::BIGINT AS chunk_id,
+                   (s % 512)::BIGINT AS chunk_offset,
+                   CASE WHEN n_toks = 0 THEN 0::BIGINT
+                        ELSE ((s + n_toks - 1) // 512) - (s // 512) + 1
+                   END AS n_chunks
+            FROM c
         """,
         "lang_id": _lang_id_oracle(),
         "ngram_jaccard": r"""

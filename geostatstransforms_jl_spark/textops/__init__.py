@@ -10,6 +10,7 @@ from .dedup import (
     ngram_jaccard_pairs,
 )
 from .quality import lang_id, quality_scores, token_stats, doc_fingerprint
+from .packing import hash_split, chunk_pack
 
 __all__ = [
     "exact_dedup",
@@ -25,4 +26,6 @@ __all__ = [
     "quality_scores",
     "token_stats",
     "doc_fingerprint",
+    "hash_split",
+    "chunk_pack",
 ]

@@ -1,6 +1,6 @@
 """Generate literal-table DuckDB oracles for the deterministic-but-not-SQL
 queries (VERDICT r2 next-step 6): `modefilter`, `maxposterior`, `quenching`,
-`kriging_neighbors`, `doc_fingerprint`, `simhash_pairs`, `minhash_dedup`,
+`kriging_neighbors`, `doc_fingerprint`, `hash_split`, `simhash_pairs`, `minhash_dedup`,
 `minhash_dedup_cc`, `image_gradient`, `ann_lsh_topk`, `ann_ivf_topk`,
 `image_potrace`.
 
@@ -283,6 +283,27 @@ def replay_doc_fingerprint(rows):
             h = spark_xxhash64(_win_join(w, p, 4))
             acc = spark_xxhash64(("long", acc), ("long", h))
         out[int(did)] = acc
+    return out
+
+
+def replay_hash_split(doc_ids, weights, seed, buckets=1_000_000):
+    """packing.hash_split: bucket = pmod(xxhash64(id:long, seed:long),
+    buckets); contiguous [0, buckets) ranges carved by cumulative normalized
+    weight, bounds rounded once, last bound pinned to buckets."""
+    names = list(weights)
+    total = float(sum(weights.values()))
+    bounds, acc = [], 0.0
+    for n in names:
+        acc += weights[n] / total
+        bounds.append(min(buckets, int(round(acc * buckets))))
+    bounds[-1] = buckets
+    out = {}
+    for did in doc_ids:
+        b = spark_xxhash64(("long", did), ("long", seed)) % buckets  # py % == pmod
+        for n, hi in zip(names, bounds):
+            if b < hi:
+                out[int(did)] = n
+                break
     return out
 
 
@@ -1100,6 +1121,15 @@ def main():
         + ")"
     )
 
+    hs = replay_hash_split(
+        [d for d, *_ in docs], {"train": 0.9, "val": 0.05, "test": 0.05}, seed=7
+    )
+    hs_sql = (
+        "SELECT col0::BIGINT AS doc_id, col1 AS split FROM (VALUES "
+        + ", ".join(f"({d}, '{s}')" for d, s in sorted(hs.items()))
+        + ")"
+    )
+
     sp = replay_simhash_pairs(doc_rows, max_hamming=3)
     sp_sql = (
         "SELECT col0::BIGINT AS a, col1::BIGINT AS b, col2::INT AS hamming "
@@ -1255,6 +1285,7 @@ def main():
         f'    "quenching": """{grid_values_sql(qu)}""",\n'
         f'    "kriging_neighbors": """{kr_sql}""",\n'
         f'    "doc_fingerprint": """{fp_sql}""",\n'
+        f'    "hash_split": """{hs_sql}""",\n'
         f'    "simhash_pairs": """{sp_sql}""",\n'
         f'    "minhash_dedup": """{md_sql}""",\n'
         f'    "minhash_dedup_cc": """{mdcc_sql}""",\n'
@@ -1276,6 +1307,7 @@ def main():
         f.write(body)
     print(f"wrote {OUT}: modefilter={len(mf)} maxposterior={len(mp)} "
           f"quenching={len(qu)} kriging={len(kr)} fingerprint={len(fp)} "
+          f"hash_split={len(hs)} "
           f"simhash_pairs={len(sp)} minhash_survivors={len(survivors)} "
           f"minhash_cc_survivors={len(cc_survivors)} "
           f"image_gradient={len(ig)} ann_lsh={len(lsh)} ann_ivf={len(ivf)} potrace={len(pot)} "

@@ -441,3 +441,87 @@ def test_banded_pair_collapse_stays_hash_aggregate(spark, docs, emb):
     for name, plan in plans.items():
         assert "SortAggregate" not in plan, (name, plan)
         assert "HashAggregate" in plan, (name, plan)
+
+
+# ---- training-set assembly: hash_split / chunk_pack -------------------------
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    from geostatstransforms_jl_spark.textops import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(docs, w, seed=3).collect()}
+    # same ids, different physical layout → byte-identical assignment
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(7, "lang"), w, seed=3).collect()
+    }
+    assert a == b and set(a.values()) <= set(w)
+    # a different seed reshuffles membership (overwhelmingly likely for 600 ids)
+    c = {r.doc_id: r.split for r in hash_split(docs, w, seed=4).collect()}
+    assert a != c
+    # fractions land near the request (hash uniformity, loose 3-sigma-ish band)
+    n = len(a)
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train_frac < 0.9
+    # zero shuffles: membership must not depend on any exchange
+    assert "Exchange" not in _plan(hash_split(docs, w, seed=3))
+
+
+def test_hash_split_validation(spark):
+    from geostatstransforms_jl_spark.textops import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(docs, {})
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(docs, {"a": -0.1, "b": 1.1})
+    with pytest.raises(ValueError, match="already exists"):
+        hash_split(docs, {"a": 1.0}, out="lang")
+
+
+def test_chunk_pack_matches_serial_replay(spark):
+    from geostatstransforms_jl_spark.textops import chunk_pack
+
+    # adversarial token counts: zeros, exact chunk multiples, giant docs that
+    # span many chunks — sharded so the cross-shard offset path is exercised
+    toks = [0, 512, 1, 511, 0, 513, 37, 1024, 5, 2000, 512, 0, 3, 509, 7]
+    rows = [(i * 10, t) for i, t in enumerate(toks)]  # sparse, shuffled ids
+    import random
+
+    rng = random.Random(5)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, "doc_id long, n_toks long")
+    got = {
+        r.doc_id: (r.chunk_id, r.chunk_offset, r.n_chunks)
+        for r in chunk_pack(df, 64, "n_toks", shard_size=3).collect()
+    }
+    # independent serial replay of concat-and-chunk
+    start = 0
+    want = {}
+    for did, t in rows:  # doc_id order
+        cid, off = start // 64, start % 64
+        nch = 0 if t == 0 else (start + t - 1) // 64 - cid + 1
+        want[did] = (cid, off, nch)
+        start += t
+    assert got == want
+
+
+def test_chunk_pack_plan_shape(spark):
+    from geostatstransforms_jl_spark.textops import chunk_pack
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.withColumn(
+        "n_toks", F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long")
+    )
+    plan = _plan(chunk_pack(toks, 512, "n_toks", shard_size=64))
+    # the DATA path must be hash-partitioned by shard (one exchange + local
+    # sort), never a global single-partition sort of the corpus; the only
+    # SinglePartition exchange allowed is the tiny per-shard totals branch
+    assert "hashpartitioning(_shard" in plan
+    data_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange SinglePartition" not in data_side
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunk_pack(toks, 0, "n_toks")
