@@ -281,9 +281,12 @@ def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatstransforms_jl_spark.textops import chunk_pack
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.withColumn(
-        "n_toks",
-        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long"),
+    # project to the (id, tokens) skeleton BEFORE packing: only the chunk
+    # assignment is wanted here, so the one exchange ships fixed-width pairs,
+    # not the text payload (chunk_pack docstring documents the choice)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long").alias("n_toks"),
     )
     return chunk_pack(toks, 512, "n_toks", shard_size=64).select(
         "doc_id", "n_toks", "chunk_id", "chunk_offset", "n_chunks"

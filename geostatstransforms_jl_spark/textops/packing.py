@@ -95,6 +95,12 @@ def chunk_pack(
     constant-per-shard and monotone in the key's order (e.g. a date bucket
     for timestamp keys).  ``tokens_col`` must be non-negative; negative
     counts would silently corrupt every later offset, so validate upstream.
+
+    Every input column rides along, THROUGH the exchange.  When only the
+    assignment is needed, ``select(order_col, tokens_col)`` first so the
+    shuffle ships fixed-width pairs; when the packed payload itself is the
+    output, carrying it through this one exchange beats any join-back plan
+    (the join would re-shuffle the corpus a second time).
     """
     if chunk_size <= 0:
         raise ValueError(f"chunk_pack: chunk_size must be positive, got {chunk_size}")
