@@ -10,7 +10,7 @@ from .dedup import (
     ngram_jaccard_pairs,
 )
 from .quality import lang_id, quality_scores, token_stats, doc_fingerprint
-from .packing import hash_split, chunk_pack
+from .packing import hash_split, chunk_pack, chunk_pack_sorted
 
 __all__ = [
     "exact_dedup",
@@ -28,4 +28,5 @@ __all__ = [
     "doc_fingerprint",
     "hash_split",
     "chunk_pack",
+    "chunk_pack_sorted",
 ]

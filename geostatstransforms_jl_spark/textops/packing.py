@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def hash_split(
@@ -147,3 +148,213 @@ def chunk_pack(
         )
         .drop("_shard", "_local_end", "_before")
     )
+
+
+def chunk_pack_sorted(
+    df: DataFrame,
+    chunk_size: int,
+    tokens_col: str,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Zero-shuffle twin of :func:`chunk_pack` for corpora whose PHYSICAL
+    layout is already sorted by ``order_col`` — what clustered/ordered
+    writes produce (``sources.write_zordered`` on the key, a range-
+    partitioned ingest, or any ``sortWithinPartitions``+range layout).
+    Identical output columns and semantics.
+
+    Plan shape: a tiny column-pruned pre-pass aggregates per
+    (scan-partition, file) FRAGMENT — the unit Spark's file packing
+    actually produces: small files are bin-packed into one partition in
+    SIZE order (not key order), and large files are split across
+    partitions — collecting O(#fragments) rows of (row count, token total,
+    key min/max) to the driver.  Fragments are stitched back into global
+    key order there (per file by key range, per fragment within file by
+    key range), prefix offsets computed, broadcast; the main pass is ONE
+    narrow ``mapInPandas`` that streams each fragment in order, carrying a
+    running offset.  No exchange touches the data, so the job scales at
+    the scan ceiling — the route to prefer at 100-TB scale whenever the
+    table layout qualifies (measured: scripts/packing_scaling.py
+    ``sorted`` route).
+
+    The layout contract is VERIFIED, not assumed, and fails loudly toward
+    the generic route:
+
+    * across files and across same-file fragments: key ranges must be
+      disjoint (pre-pass, driver-side);
+    * within a fragment: keys must be strictly increasing (main pass,
+      per batch — also implies uniqueness);
+    * plan stability: the main pass re-checks each fragment's row count
+      and first key against the pre-pass, so a scan that split differently
+      between the two passes aborts instead of mis-packing (discarded
+      task output never commits, so the abort is clean).
+
+    Unlike the generic route, ``order_col`` may be ANY orderable type
+    (strings included) — no numeric shard arithmetic is involved.  The
+    input must be a file-source scan (``input_file_name()`` identifies
+    fragments); in-memory DataFrames take the generic route.
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_pack_sorted: chunk_size must be positive, got {chunk_size}")
+    for c in ("chunk_id", "chunk_offset", "n_chunks", "_gst_file"):
+        if c in df.columns:
+            raise ValueError(f"chunk_pack_sorted: input already has a {c!r} column")
+    toks = F.col(tokens_col).cast("long")
+    tagged = df.withColumn("_gst_file", F.input_file_name())
+    stats = (
+        tagged.select(
+            F.spark_partition_id().alias("_pid"),
+            F.col("_gst_file"),
+            toks.alias("_t"),
+            F.col(order_col).alias("_k"),
+        )
+        .groupBy("_pid", "_gst_file")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_t").alias("tot"),
+            F.min("_k").alias("kmin"),
+            F.max("_k").alias("kmax"),
+        )
+        .collect()
+    )
+    frags = [r for r in stats if r["n"] > 0]
+    if frags and all(r["_gst_file"] == "" for r in frags):
+        raise ValueError(
+            "chunk_pack_sorted: input is not a file-source scan "
+            "(input_file_name() is empty) — fragment identity is undefined; "
+            "use the generic chunk_pack route"
+        )
+    by_file: dict = {}
+    for r in frags:
+        by_file.setdefault(r["_gst_file"], []).append(r)
+    files = []
+    for fname, rs in by_file.items():
+        rs.sort(key=lambda r: r["kmin"])
+        for a, b in zip(rs, rs[1:]):
+            if not a["kmax"] < b["kmin"]:
+                raise ValueError(
+                    f"chunk_pack_sorted: fragments of {fname!r} have "
+                    f"overlapping {order_col!r} ranges — rows are not "
+                    "sorted by the key inside the file (or keys repeat); "
+                    "use the generic chunk_pack route"
+                )
+        files.append((rs[0]["kmin"], rs[-1]["kmax"], fname, rs))
+    files.sort(key=lambda t: t[0])
+    for (_, amax, aname, _), (bmin, _, bname, _) in zip(files, files[1:]):
+        if not amax < bmin:
+            raise ValueError(
+                "chunk_pack_sorted: file key ranges overlap "
+                f"({aname!r} [..{amax!r}] vs {bname!r} [{bmin!r}..]) — the "
+                f"physical layout is not clustered by {order_col!r} (or "
+                "keys repeat).  Sort/cluster the table on the key first "
+                "(e.g. a range-partitioned or write_zordered layout), or "
+                "use the generic chunk_pack route."
+            )
+    offs, expected, acc = {}, {}, 0
+    for _, _, fname, rs in files:
+        for r in rs:
+            offs[(r["_pid"], fname)] = acc
+            expected[(r["_pid"], fname)] = (r["n"], r["kmin"])
+            acc += r["tot"]
+    bc = df.sparkSession.sparkContext.broadcast((offs, expected))
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("chunk_id", T.LongType()),
+            T.StructField("chunk_offset", T.LongType()),
+            T.StructField("n_chunks", T.LongType()),
+        ]
+    )
+
+    def assign(iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        offs, expected = bc.value
+        cur_file = None
+        running = 0
+        seen: dict = {}  # file -> [rows, first_key, last_key]
+
+        def check_done(fname):
+            n_exp, kmin_exp = expected[(pid, fname)]
+            n_got, first_key, _ = seen[fname]
+            if n_got != n_exp or first_key != kmin_exp:
+                raise RuntimeError(
+                    f"chunk_pack_sorted: partition {pid} saw {n_got} rows of "
+                    f"{fname!r} starting at {first_key!r} but the pre-pass "
+                    f"recorded {n_exp} starting at {kmin_exp!r} — scan "
+                    "planning diverged between passes; use the generic "
+                    "chunk_pack route"
+                )
+
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            fcol = pdf["_gst_file"].to_numpy()
+            change = np.nonzero(fcol[1:] != fcol[:-1])[0] + 1
+            bounds = [0, *change.tolist(), len(fcol)]
+            out = pdf.drop(columns=["_gst_file"]).copy()
+            cid = np.empty(len(fcol), dtype="int64")
+            coff = np.empty(len(fcol), dtype="int64")
+            nch = np.empty(len(fcol), dtype="int64")
+            for s, e in zip(bounds, bounds[1:]):
+                fname = fcol[s]
+                if fname != cur_file:
+                    if cur_file is not None:
+                        check_done(cur_file)
+                    if fname in seen:
+                        raise RuntimeError(
+                            f"chunk_pack_sorted: partition {pid} revisits "
+                            f"{fname!r} after leaving it — non-contiguous "
+                            "fragment; use the generic chunk_pack route"
+                        )
+                    if (pid, fname) not in offs:
+                        raise RuntimeError(
+                            f"chunk_pack_sorted: partition {pid} reads "
+                            f"{fname!r} but the pre-pass did not — scan "
+                            "planning diverged between passes; use the "
+                            "generic chunk_pack route"
+                        )
+                    cur_file = fname
+                    running = offs[(pid, fname)]
+                    seen[fname] = [0, None, None]
+                k = pdf[order_col].iloc[s:e]
+                if not (k.is_monotonic_increasing and k.is_unique):
+                    raise ValueError(
+                        f"chunk_pack_sorted: rows of {fname!r} are not "
+                        f"strictly increasing in {order_col!r} — layout "
+                        "contract violated; use the generic chunk_pack route"
+                    )
+                st = seen[fname]
+                if st[2] is not None and not st[2] < k.iloc[0]:
+                    raise ValueError(
+                        f"chunk_pack_sorted: batch boundary in {fname!r} "
+                        f"breaks {order_col!r} ordering — layout contract "
+                        "violated; use the generic chunk_pack route"
+                    )
+                if st[1] is None:
+                    st[1] = k.iloc[0]
+                st[2] = k.iloc[-1]
+                t = pdf[tokens_col].iloc[s:e].to_numpy().astype("int64")
+                cs = np.cumsum(t)
+                start = running + cs - t
+                cid[s:e] = start // chunk_size
+                coff[s:e] = start % chunk_size
+                nch[s:e] = np.where(
+                    t == 0,
+                    0,
+                    (start + np.maximum(t, 1) - 1) // chunk_size
+                    - start // chunk_size
+                    + 1,
+                )
+                running += int(cs[-1])
+                st[0] += e - s
+            out["chunk_id"] = cid
+            out["chunk_offset"] = coff
+            out["n_chunks"] = nch
+            yield out
+        if cur_file is not None:
+            check_done(cur_file)
+
+    return tagged.mapInPandas(assign, out_schema)

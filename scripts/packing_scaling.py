@@ -23,7 +23,15 @@ sum of n_chunks and chunk_offset, count) so nothing is dead code, and the
 checksums double as the north rule's output-identity assertion: the packing
 assignment must be byte-identical across parallelism levels.
 
-Usage: python scripts/packing_scaling.py [n_rows] [low] [high] [reps] [shuffle_partitions] [chunk_size] [shard_size]
+`route` (argv[8]) picks the implementation:
+  generic  one-exchange distributed prefix sum (any layout) — sort+shuffle
+           heavy, so size shuffle_partitions to memory (the 400M sp=16
+           reading shows the spill penalty of oversized sort partitions)
+  sorted   zero-shuffle chunk_pack_sorted over the fixture's id-clustered
+           file layout (spark.range writes contiguous id ranges per file)
+           — the 100-TB route when the table layout qualifies
+
+Usage: python scripts/packing_scaling.py [n_rows] [low] [high] [reps] [shuffle_partitions] [chunk_size] [shard_size] [route]
 """
 
 import hashlib
@@ -41,6 +49,8 @@ REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 SP = int(sys.argv[5]) if len(sys.argv) > 5 else 2 * int(HIGH)
 CHUNK = int(sys.argv[6]) if len(sys.argv) > 6 else 2048
 SHARD = int(sys.argv[7]) if len(sys.argv) > 7 else 65536
+ROUTE = sys.argv[8] if len(sys.argv) > 8 else "generic"
+assert ROUTE in ("generic", "sorted"), ROUTE
 
 GEN = """
 import sys
@@ -59,11 +69,10 @@ spark.stop()
 print("GEN_DONE")
 """
 
-_PACKING_SRC = os.path.join(
-    REPO, "geostatstransforms_jl_spark", "textops", "packing.py"
-)
-with open(_PACKING_SRC, "rb") as _f:
-    _TAG = hashlib.sha256(GEN.encode() + _f.read()).hexdigest()[:8]
+# content tag covers the synthesis code only (the GEN block): the operator
+# under test is deliberately NOT part of the fixture identity — editing
+# packing.py must not regenerate multi-GB fixtures that don't depend on it
+_TAG = hashlib.sha256(GEN.encode()).hexdigest()[:8]
 FIXTURE = os.path.join(REPO, ".scratch", f"packdocs_{N}_{_TAG}")
 
 WORKER = """
@@ -73,15 +82,21 @@ from pyspark.sql import functions as F
 from geostatstransforms_jl_spark.core.session import get_spark
 from geostatstransforms_jl_spark.textops import chunk_pack
 
-cpus, path, n, sp, chunk, shard = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
-                                   int(sys.argv[4]), int(sys.argv[5]),
-                                   int(sys.argv[6]))
+cpus, path, n, sp, chunk, shard, route = (sys.argv[1], sys.argv[2],
+                                          int(sys.argv[3]), int(sys.argv[4]),
+                                          int(sys.argv[5]), int(sys.argv[6]),
+                                          sys.argv[7])
 spark = get_spark(app=f"gst-pack-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=sp)
 spark.range(10).count()  # JVM warm
 t0 = time.perf_counter()
-res = (chunk_pack(spark.read.parquet(path).select("doc_id", "n_toks"),
-                  chunk, "n_toks", shard_size=shard)
+src = spark.read.parquet(path).select("doc_id", "n_toks")
+if route == "sorted":
+    from geostatstransforms_jl_spark.textops import chunk_pack_sorted
+    packed = chunk_pack_sorted(src, chunk, "n_toks")
+else:
+    packed = chunk_pack(src, chunk, "n_toks", shard_size=shard)
+res = (packed
        .agg(F.count("*"), F.sum("chunk_id"), F.max("chunk_id"),
             F.sum("chunk_offset"), F.sum("n_chunks"))
        .first())
@@ -99,7 +114,7 @@ print("PACK_JSON " + json.dumps({
 def run_level(cpus: str) -> dict:
     p = subprocess.run(
         [sys.executable, "-c", WORKER % {"repo": REPO},
-         cpus, FIXTURE, str(N), str(SP), str(CHUNK), str(SHARD)],
+         cpus, FIXTURE, str(N), str(SP), str(CHUNK), str(SHARD), ROUTE],
         capture_output=True, text=True, cwd=REPO,
     )
     lines = [l for l in p.stdout.splitlines() if l.startswith("PACK_JSON ")]
@@ -142,7 +157,8 @@ def main():
     ratio = int(HIGH) / int(LOW)
     eff = best[HIGH]["docs_per_sec"] / best[LOW]["docs_per_sec"] / ratio
     out = {
-        "stage": "chunk_pack", "rows": N, "shuffle_partitions": SP,
+        "stage": "chunk_pack", "route": ROUTE, "rows": N,
+        "shuffle_partitions": SP,
         "chunk_size": CHUNK, "shard_size": SHARD,
         "low": best[LOW], "high": best[HIGH],
         "runs": {k: [r["sec"] for r in v] for k, v in runs.items()},

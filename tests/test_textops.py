@@ -525,3 +525,101 @@ def test_chunk_pack_plan_shape(spark):
     assert "Exchange SinglePartition" not in data_side
     with pytest.raises(ValueError, match="chunk_size"):
         chunk_pack(toks, 0, "n_toks")
+
+
+def test_chunk_pack_sorted_matches_generic(spark, tmp_path):
+    from geostatstransforms_jl_spark.textops import chunk_pack, chunk_pack_sorted
+
+    # id-sorted physical layout: each written file is one contiguous id range
+    path = str(tmp_path / "sorted_docs")
+    (spark.range(5000, numPartitions=6)
+     .select(F.col("id").alias("doc_id"),
+             F.pmod(F.xxhash64("id"), F.lit(97)).alias("n_toks"))
+     .write.parquet(path))
+    src = spark.read.parquet(path)
+    key = lambda df: {
+        r.doc_id: (r.chunk_id, r.chunk_offset, r.n_chunks) for r in df.collect()
+    }
+    a = key(chunk_pack_sorted(src, 64, "n_toks"))
+    b = key(chunk_pack(src, 64, "n_toks", shard_size=512))
+    assert a == b and len(a) == 5000
+    # zero-shuffle: no Exchange anywhere in the main pass
+    assert "Exchange" not in _plan(chunk_pack_sorted(src, 64, "n_toks"))
+
+
+def test_chunk_pack_sorted_rejects_unsorted_layout(spark, tmp_path):
+    from geostatstransforms_jl_spark.textops import chunk_pack_sorted
+
+    path = str(tmp_path / "shuffled_docs")
+    (spark.range(2000)
+     .select(F.col("id").alias("doc_id"), F.lit(3).alias("n_toks"))
+     .repartition(5)  # hash layout: every file spans the whole id range
+     .write.parquet(path))
+    src = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="not sorted|overlap"):
+        chunk_pack_sorted(src, 64, "n_toks")
+
+
+def test_chunk_pack_sorted_string_keys(spark, tmp_path):
+    from geostatstransforms_jl_spark.textops import chunk_pack_sorted
+
+    # the sorted route supports non-numeric order keys (no shard arithmetic)
+    path = str(tmp_path / "string_docs")
+    (spark.range(300, numPartitions=3)
+     .select(F.format_string("doc%06d", F.col("id")).alias("doc_id"),
+             F.pmod(F.xxhash64("id"), F.lit(50)).alias("n_toks"))
+     .write.parquet(path))
+    src = spark.read.parquet(path)
+    rows = {r.doc_id: r for r in chunk_pack_sorted(src, 32, "n_toks").collect()}
+    toks = {r.doc_id: r.n_toks for r in src.collect()}
+    start = 0
+    for did in sorted(toks):  # lexicographic == id order by construction
+        t = toks[did]
+        assert rows[did].chunk_id == start // 32
+        assert rows[did].chunk_offset == start % 32
+        assert rows[did].n_chunks == (0 if t == 0 else (start + t - 1) // 32 - start // 32 + 1)
+        start += t
+
+
+def test_chunk_pack_sorted_split_file_fragments(spark, tmp_path):
+    # one LARGE file read as many scan partitions: the pre-pass must stitch
+    # per-(partition, file) fragments back into key order, not assume
+    # file == partition
+    from geostatstransforms_jl_spark.textops import chunk_pack, chunk_pack_sorted
+
+    path = str(tmp_path / "one_big_file")
+    (spark.range(60000, numPartitions=1)
+     .select(F.col("id").alias("doc_id"),
+             F.pmod(F.xxhash64("id"), F.lit(91)).alias("n_toks"))
+     .write.parquet(path))
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        src = spark.read.parquet(path)
+        n_parts = src.rdd.getNumPartitions()
+        got = {
+            r.doc_id: (r.chunk_id, r.chunk_offset, r.n_chunks)
+            for r in chunk_pack_sorted(src, 128, "n_toks").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+    assert n_parts > 1, "fixture must actually split the file"
+    src2 = spark.read.parquet(path)
+    want = {
+        r.doc_id: (r.chunk_id, r.chunk_offset, r.n_chunks)
+        for r in chunk_pack(src2, 128, "n_toks", shard_size=8192).collect()
+    }
+    assert got == want and len(got) == 60000
+
+
+def test_chunk_pack_sorted_rejects_in_memory_input(spark):
+    from geostatstransforms_jl_spark.textops import chunk_pack_sorted
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_toks")
+    )
+    with pytest.raises(ValueError, match="file-source"):
+        chunk_pack_sorted(df, 64, "n_toks")
