@@ -30,6 +30,11 @@ assignment must be byte-identical across parallelism levels.
   sorted   zero-shuffle chunk_pack_sorted over the fixture's id-clustered
            file layout (spark.range writes contiguous id ranges per file)
            — the 100-TB route when the table layout qualifies
+  tokenize the end-to-end pipeline shape: scan a TEXT corpus fixture
+           (~190-char synthetic docs), whitespace-tokenize in Catalyst
+           (the gate query's exact formulation), then the generic pack —
+           the skeleton-only routes above are the worst case (zero ALU
+           per byte); this is what a real packing job spends its time on
 
 Usage: python scripts/packing_scaling.py [n_rows] [low] [high] [reps] [shuffle_partitions] [chunk_size] [shard_size] [route]
 """
@@ -50,7 +55,7 @@ SP = int(sys.argv[5]) if len(sys.argv) > 5 else 2 * int(HIGH)
 CHUNK = int(sys.argv[6]) if len(sys.argv) > 6 else 2048
 SHARD = int(sys.argv[7]) if len(sys.argv) > 7 else 65536
 ROUTE = sys.argv[8] if len(sys.argv) > 8 else "generic"
-assert ROUTE in ("generic", "sorted"), ROUTE
+assert ROUTE in ("generic", "sorted", "tokenize"), ROUTE
 
 GEN = """
 import sys
@@ -69,11 +74,43 @@ spark.stop()
 print("GEN_DONE")
 """
 
-# content tag covers the synthesis code only (the GEN block): the operator
+TEXTGEN = """
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from geostatstransforms_jl_spark.core.session import get_spark
+
+n, path = int(sys.argv[1]), sys.argv[2]
+spark = get_spark(app="gst-packtext-gen", master="local[16]",
+                  shuffle_partitions=16)
+# ~190-char synthetic docs: 12-61 words drawn from a 4096-word vocabulary by
+# per-(doc, position) hash — deterministic, realistic token-count spread
+words = F.transform(
+    F.sequence(F.lit(1), (F.pmod(F.xxhash64("id"), F.lit(50)) + 12).cast("int")),
+    lambda i: F.concat(
+        F.lit("w"),
+        F.pmod(F.xxhash64("id", i.cast("long")), F.lit(4096)).cast("string"),
+    ),
+)
+(spark.range(n, numPartitions=64)
+ .select(F.col("id").alias("doc_id"),
+         F.concat_ws(" ", words).alias("text"),
+         F.pmod(F.xxhash64("id", F.lit(2).cast("long")), F.lit(31)).alias("src"))
+ .write.mode("overwrite").parquet(path))
+spark.stop()
+print("GEN_DONE")
+"""
+
+# content tag covers the synthesis code only (the GEN blocks): the operator
 # under test is deliberately NOT part of the fixture identity — editing
 # packing.py must not regenerate multi-GB fixtures that don't depend on it
-_TAG = hashlib.sha256(GEN.encode()).hexdigest()[:8]
-FIXTURE = os.path.join(REPO, ".scratch", f"packdocs_{N}_{_TAG}")
+if ROUTE == "tokenize":
+    _TAG = hashlib.sha256(TEXTGEN.encode()).hexdigest()[:8]
+    FIXTURE = os.path.join(REPO, ".scratch", f"packtext_{N}_{_TAG}")
+    GEN = TEXTGEN
+else:
+    _TAG = hashlib.sha256(GEN.encode()).hexdigest()[:8]
+    FIXTURE = os.path.join(REPO, ".scratch", f"packdocs_{N}_{_TAG}")
 
 WORKER = """
 import json, sys, time
@@ -90,7 +127,14 @@ spark = get_spark(app=f"gst-pack-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=sp)
 spark.range(10).count()  # JVM warm
 t0 = time.perf_counter()
-src = spark.read.parquet(path).select("doc_id", "n_toks")
+if route == "tokenize":
+    # end-to-end: tokenize THEN pack (the gate query's formulation)
+    src = spark.read.parquet(path).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long").alias("n_toks"),
+    )
+else:
+    src = spark.read.parquet(path).select("doc_id", "n_toks")
 if route == "sorted":
     from geostatstransforms_jl_spark.textops import chunk_pack_sorted
     packed = chunk_pack_sorted(src, chunk, "n_toks")
